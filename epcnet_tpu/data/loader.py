@@ -1,0 +1,176 @@
+"""Training-tuple assembly and async prefetching loader.
+
+Reference equivalent: loading_pointclouds.py get_query_tuple() +
+train.py's synchronous feed_dict loop [LINEAGE]. The reference loads every
+tuple on the main Python thread between sess.run calls — a known CPU
+bottleneck (SURVEY.md §3.1). Here a thread pool assembles batches ahead of
+the device and a bounded queue keeps ``prefetch_depth`` batches ready, so
+host IO overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from epcnet_tpu.configs import DataConfig
+from epcnet_tpu.data.pointclouds import (
+    jitter_point_cloud,
+    load_pc_file,
+    rotate_point_cloud,
+)
+from epcnet_tpu.data.tuples import TrainingTuples
+
+
+def get_query_tuple(
+    tuples: TrainingTuples,
+    idx: int,
+    cfg: DataConfig,
+    rng: np.random.Generator,
+    hard_negatives: Sequence[int] | None = None,
+) -> dict | None:
+    """One training tuple as numpy arrays (query/positives/negatives/other_neg).
+
+    Matches reference semantics [LINEAGE: loading_pointclouds.py
+    get_query_tuple]: positives sampled from the <10 m set, negatives random
+    (or provided hard negatives first), other_neg = a submap that is a
+    negative of the query AND of every sampled positive/negative's
+    neighbourhood (approximated, as in the reference, by a random negative of
+    the union). Returns None if the tuple is unusable (too few positives).
+    """
+    entry = tuples.queries[idx]
+    if len(entry["positives"]) < cfg.num_positives:
+        return None
+
+    pos_ids = rng.choice(entry["positives"], cfg.num_positives, replace=False)
+    negs = list(hard_negatives or [])
+    pool = entry["negatives"]
+    if len(pool) == 0:
+        return None
+    while len(negs) < cfg.num_negatives:
+        cand = int(pool[rng.integers(len(pool))])
+        if cand not in negs:
+            negs.append(cand)
+    negs = negs[: cfg.num_negatives]
+
+    def load(i):
+        return load_pc_file(
+            tuples.queries[int(i)]["query"], cfg.dataset_root, cfg.num_points
+        )
+
+    out = {
+        "query": load(idx),
+        "positives": np.stack([load(i) for i in pos_ids]),
+        "negatives": np.stack([load(i) for i in negs]),
+        "ids": {"query": idx, "positives": [int(i) for i in pos_ids],
+                "negatives": [int(i) for i in negs]},
+    }
+    if cfg.use_other_neg:
+        # neighbours of everything sampled -> other_neg must avoid them all
+        banned = set(entry["positives"]) | {idx}
+        for i in negs:
+            banned |= set(tuples.queries[int(i)]["positives"])
+        choices = [i for i in pool if i not in banned]
+        other = int(choices[rng.integers(len(choices))]) if choices else int(
+            pool[rng.integers(len(pool))]
+        )
+        out["other_neg"] = load(other)
+        out["ids"]["other_neg"] = other
+    return out
+
+
+def _augment(batch: np.ndarray, cfg: DataConfig, rng: np.random.Generator) -> np.ndarray:
+    flat = batch.reshape(-1, *batch.shape[-2:])
+    if cfg.rotate:
+        flat = rotate_point_cloud(flat, rng)
+    if cfg.jitter_sigma > 0:
+        flat = jitter_point_cloud(flat, cfg.jitter_sigma, cfg.jitter_clip, rng)
+    return flat.reshape(batch.shape)
+
+
+class TupleLoader:
+    """Bounded-queue prefetching loader over training tuples.
+
+    Yields batches (dict of stacked numpy arrays):
+      query [B, N, 3], positives [B, P, N, 3], negatives [B, Ng, N, 3],
+      other_neg [B, N, 3], ids (list of id-dicts).
+    ``set_hard_negatives(fn)`` installs a callback idx -> list of hard
+    negative ids (the mining hook, SURVEY.md §3.1 [mining]).
+    """
+
+    def __init__(
+        self,
+        tuples: TrainingTuples,
+        cfg: DataConfig,
+        batch_size: int,
+        seed: int = 0,
+        augment: bool = True,
+    ):
+        self.tuples = tuples
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.seed = seed
+        self.augment = augment
+        self._hard_neg_fn = None
+        self._stop = threading.Event()
+
+    def set_hard_negatives(self, fn) -> None:
+        self._hard_neg_fn = fn
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        """One pass over shuffled tuple indices, prefetched."""
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = rng.permutation(len(self.tuples.queries))
+        q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch_depth)
+        stop = self._stop
+
+        def worker():
+            wrng = np.random.default_rng((self.seed, epoch_idx, 1))
+            try:
+                batch = []
+                for idx in order:
+                    if stop.is_set():
+                        return
+                    hard = self._hard_neg_fn(int(idx)) if self._hard_neg_fn else None
+                    t = get_query_tuple(self.tuples, int(idx), self.cfg, wrng, hard)
+                    if t is None:
+                        continue
+                    batch.append(t)
+                    if len(batch) == self.batch_size:
+                        q.put(self._collate(batch, wrng))
+                        batch = []
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def _collate(self, batch: list, rng: np.random.Generator) -> dict:
+        out = {
+            "query": np.stack([b["query"] for b in batch]),
+            "positives": np.stack([b["positives"] for b in batch]),
+            "negatives": np.stack([b["negatives"] for b in batch]),
+            "ids": [b["ids"] for b in batch],
+        }
+        if "other_neg" in batch[0]:
+            out["other_neg"] = np.stack([b["other_neg"] for b in batch])
+        if self.augment:
+            for k in ("query", "positives", "negatives", "other_neg"):
+                if k in out:
+                    out[k] = _augment(out[k], self.cfg, rng)
+        return out

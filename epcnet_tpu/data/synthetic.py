@@ -1,0 +1,85 @@
+"""Synthetic mini-dataset generator (SURVEY.md §4's "fixtures" gap).
+
+The reference has no synthetic data path — its fixtures are the 30 GB Oxford
+download [LINEAGE]. This generator writes a tiny dataset in the SAME on-disk
+layout (runs with a locations csv + float64 .bin submaps) so every
+integration test and CI job runs the real pipeline end-to-end.
+
+Geometry: submaps are sampled from a deterministic "world" — each ~cell of
+UTM space hashes to a base cloud, so submaps taken near the same place share
+structure (plus per-visit rotation/noise) while far-apart submaps don't.
+That makes place recognition *learnable* on synthetic data: positives look
+alike, negatives don't.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _cell_cloud(cell: tuple[int, int], num_points: int, world_seed: int) -> np.ndarray:
+    seed = (world_seed * 1_000_003 + cell[0] * 7919 + cell[1] * 104729) % (2**31 - 1)
+    rng = np.random.default_rng(seed)
+    # A few gaussian blobs — crude "buildings" giving each place a signature.
+    k = 8
+    centers = rng.uniform(-0.8, 0.8, (k, 3))
+    scales = rng.uniform(0.02, 0.2, (k, 1))
+    assign = rng.integers(0, k, num_points)
+    pts = centers[assign] + scales[assign] * rng.standard_normal((num_points, 3))
+    return np.clip(pts, -1.0, 1.0)
+
+
+def generate_synthetic_dataset(
+    root: str,
+    num_runs: int = 3,
+    submaps_per_run: int = 40,
+    num_points: int = 4096,
+    runs_subdir: str = "oxford",
+    pointcloud_dir: str = "pointcloud_20m_10overlap",
+    csv_name: str = "pointcloud_locations_20m_10overlap.csv",
+    spacing_m: float = 20.0,
+    cell_m: float = 20.0,
+    world_seed: int = 7,
+    noise: float = 0.01,
+) -> str:
+    """Writes the dataset under ``root`` and returns ``root``.
+
+    Runs follow the same loop trajectory with jitter, so run i's submap near
+    (n, e) is a true positive for run j's submap there — exactly the Oxford
+    revisit structure the benchmark relies on.
+    """
+    base = os.path.join(root, runs_subdir)
+    os.makedirs(base, exist_ok=True)
+    # A closed loop in UTM space (arbitrary origin).
+    t = np.linspace(0, 2 * np.pi, submaps_per_run, endpoint=False)
+    radius = spacing_m * submaps_per_run / (2 * np.pi)
+    origin_n, origin_e = 5_735_000.0, 620_000.0
+
+    for r in range(num_runs):
+        rng = np.random.default_rng(1000 + r)
+        run = f"run_{r:02d}"
+        pc_dir = os.path.join(base, run, pointcloud_dir)
+        os.makedirs(pc_dir, exist_ok=True)
+        rows = []
+        for s in range(submaps_per_run):
+            n = origin_n + radius * np.cos(t[s]) + rng.normal(0, 2.0)
+            e = origin_e + radius * np.sin(t[s]) + rng.normal(0, 2.0)
+            cell = (int(np.floor(n / cell_m)), int(np.floor(e / cell_m)))
+            pts = _cell_cloud(cell, num_points, world_seed)
+            # per-visit variation: small rotation about z + noise (kept small
+            # so place identity stays easily learnable in tiny test models)
+            ang = rng.uniform(-0.2, 0.2)
+            c, sn = np.cos(ang), np.sin(ang)
+            rot = np.array([[c, -sn, 0], [sn, c, 0], [0, 0, 1]])
+            pts = pts @ rot.T + noise * rng.standard_normal(pts.shape)
+            pts = np.clip(pts, -1.0, 1.0)
+            ts = f"{r:02d}{s:06d}"
+            pts.astype(np.float64).tofile(os.path.join(pc_dir, f"{ts}.bin"))
+            rows.append({"timestamp": ts, "northing": n, "easting": e})
+        pd.DataFrame(rows).to_csv(
+            os.path.join(base, run, csv_name), index=False
+        )
+    return root

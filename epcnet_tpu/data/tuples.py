@@ -1,0 +1,183 @@
+"""Training-tuple and evaluation-set generation.
+
+Reference equivalent: generating_queries/generate_training_tuples_baseline.py
+/ _refine.py / generate_test_sets.py [LINEAGE; SURVEY.md §2.1 P1–P3]:
+walk each run's pointcloud_locations csv, build a UTM KDTree, and emit
+
+  training pickle:  {idx: {"query": file, "northing", "easting",
+                           "positives": [...], "negatives": [...]}}
+  test sets:        per-run database & query dicts; each query entry gains
+                    {db_run_idx: [ground-truth neighbour indices]} for every
+                    database run, positives = UTM radius < 25 m.
+
+Positives: radius < 10 m. Negatives: complement of radius <= 50 m. Fixed UTM
+rectangles exclude geographic test regions from training [LINEAGE].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import random
+from typing import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+from sklearn.neighbors import KDTree
+
+# Oxford RobotCar held-out test rectangles (UTM northing/easting centres)
+# [LINEAGE: generate_training_tuples_baseline.py P1-P4 constants].
+OXFORD_TEST_REGIONS = [
+    (5735712.768124, 620084.402381),
+    (5735611.299219, 620540.270327),
+    (5735237.358209, 620543.094379),
+    (5734749.303802, 619932.693364),
+]
+OXFORD_REGION_WIDTH = 150.0  # metres [LINEAGE]
+
+
+@dataclasses.dataclass
+class TrainingTuples:
+    """In-memory form of the training pickle."""
+
+    queries: dict  # {idx: {"query": file, "positives": [...], "negatives": [...]}}
+
+    def __len__(self):
+        return len(self.queries)
+
+
+def in_test_region(
+    northing: float,
+    easting: float,
+    regions: Sequence[tuple[float, float]] = tuple(OXFORD_TEST_REGIONS),
+    width: float = OXFORD_REGION_WIDTH,
+) -> bool:
+    for cn, ce in regions:
+        if abs(northing - cn) < width / 2 and abs(easting - ce) < width / 2:
+            return True
+    return False
+
+
+def _read_run_csv(csv_path: str) -> pd.DataFrame:
+    # timestamp stays a string — filenames may have leading zeros
+    df = pd.read_csv(csv_path, sep=",", dtype={"timestamp": str})
+    need = {"timestamp", "northing", "easting"}
+    if not need.issubset(df.columns):
+        raise ValueError(f"{csv_path}: need columns {need}, got {list(df.columns)}")
+    return df
+
+
+def scan_runs(
+    dataset_root: str,
+    runs_subdir: str = "oxford",
+    pointcloud_dir: str = "pointcloud_20m_10overlap",
+    csv_name: str = "pointcloud_locations_20m_10overlap.csv",
+) -> pd.DataFrame:
+    """All submaps of all runs: columns file, northing, easting, run."""
+    base = os.path.join(dataset_root, runs_subdir)
+    frames = []
+    for run in sorted(os.listdir(base)):
+        csv_path = os.path.join(base, run, csv_name)
+        if not os.path.isfile(csv_path):
+            continue
+        df = _read_run_csv(csv_path)
+        df["file"] = df["timestamp"].map(
+            lambda t: os.path.join(runs_subdir, run, pointcloud_dir, f"{t}.bin")
+        )
+        df["run"] = run
+        frames.append(df[["file", "northing", "easting", "run"]])
+    if not frames:
+        raise FileNotFoundError(f"no runs with {csv_name} under {base}")
+    return pd.concat(frames, ignore_index=True)
+
+
+def construct_query_dict(
+    df: pd.DataFrame,
+    positive_radius: float = 10.0,
+    negative_radius: float = 50.0,
+    exclude_test_regions: bool = True,
+    test_regions: Sequence[tuple[float, float]] | None = None,
+) -> TrainingTuples:
+    """P1/P2 equivalent: per-submap positives/negatives via UTM KDTree."""
+    if exclude_test_regions:
+        regions = test_regions if test_regions is not None else OXFORD_TEST_REGIONS
+        keep = ~df.apply(
+            lambda r: in_test_region(r["northing"], r["easting"], regions), axis=1
+        )
+        df = df[keep].reset_index(drop=True)
+
+    coords = df[["northing", "easting"]].to_numpy()
+    tree = KDTree(coords)
+    pos_lists = tree.query_radius(coords, r=positive_radius)
+    nonneg_lists = tree.query_radius(coords, r=negative_radius)
+
+    queries = {}
+    all_ids = set(range(len(df)))
+    for i in range(len(df)):
+        positives = sorted(int(j) for j in pos_lists[i] if j != i)
+        negatives = sorted(all_ids - set(int(j) for j in nonneg_lists[i]))
+        queries[i] = {
+            "query": df["file"][i],
+            "northing": float(df["northing"][i]),
+            "easting": float(df["easting"][i]),
+            "positives": positives,
+            "negatives": negatives,
+        }
+    return TrainingTuples(queries)
+
+
+def construct_query_and_database_sets(
+    df: pd.DataFrame,
+    test_positive_radius: float = 25.0,
+    only_test_regions: bool = False,
+    test_regions: Sequence[tuple[float, float]] | None = None,
+):
+    """P3 equivalent. Returns (database_sets, query_sets): lists (one per
+    run) of {idx: entry} dicts; each query entry maps db-run index ->
+    ground-truth database indices within 25 m."""
+    if only_test_regions:
+        regions = test_regions if test_regions is not None else OXFORD_TEST_REGIONS
+        keep = df.apply(
+            lambda r: in_test_region(r["northing"], r["easting"], regions), axis=1
+        )
+        df = df[keep].reset_index(drop=True)
+
+    runs = sorted(df["run"].unique())
+    database_sets, query_sets, trees = [], [], []
+    for run in runs:
+        sub = df[df["run"] == run].reset_index(drop=True)
+        entries = {
+            i: {
+                "query": sub["file"][i],
+                "northing": float(sub["northing"][i]),
+                "easting": float(sub["easting"][i]),
+            }
+            for i in range(len(sub))
+        }
+        database_sets.append(entries)
+        query_sets.append({i: dict(v) for i, v in entries.items()})
+        trees.append(KDTree(sub[["northing", "easting"]].to_numpy()))
+
+    for qi, qset in enumerate(query_sets):
+        for di, tree in enumerate(trees):
+            if di == qi:
+                continue
+            coords = np.array(
+                [[v["northing"], v["easting"]] for v in qset.values()]
+            )
+            gt = tree.query_radius(coords, r=test_positive_radius)
+            for i, hits in enumerate(gt):
+                qset[i][di] = sorted(int(h) for h in hits)
+    return database_sets, query_sets
+
+
+def save_pickle(obj, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_pickle(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)

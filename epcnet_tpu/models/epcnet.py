@@ -1,0 +1,62 @@
+"""EPC-Net and EPC-Net-L models.
+
+Reference equivalent: models/EPC_Net.py get_model() [LINEAGE; PAPER Fig. 2]:
+4096x3 submap -> spatial-adjacency kNN (computed ONCE on xyz) -> ProxyConv
+stack -> concat multi-scale features -> per-point lift to 1024-D -> G-VLAD
+-> 256-D L2-normalized descriptor.
+
+TPU-native deltas from the reference (design, not translation):
+  - kNN runs as the blockwise Pallas MXU kernel (ops/knn.py) on TPU.
+  - Neighbour means are one dense normalized-adjacency bf16 matmul per layer
+    (ops/adjacency.py) instead of [N, K, C] gathers.
+  - Backbone matmuls are bf16 with fp32 accumulation; distances, VLAD and
+    the descriptor/L2-norm tail stay fp32 (SURVEY.md §7.8).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from epcnet_tpu.configs import ModelConfig
+from epcnet_tpu.models.layers import ProxyConv, SharedMLP
+from epcnet_tpu.models.vlad_head import GVLADHead
+from epcnet_tpu.ops.adjacency import mean_adjacency
+from epcnet_tpu.ops.knn import knn
+
+
+class EPCNet(nn.Module):
+    """Submap [B, N, 3] -> descriptor [B, output_dim] (L2-normalized fp32)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, points, train: bool = False, momentum=0.9):
+        cfg = self.cfg
+        b, n, _ = points.shape
+        x = points.astype(jnp.float32)
+
+        # Spatial adjacency: built once on xyz, shared by all ProxyConv
+        # layers [PAPER §III-A]. Indices are integers — no gradient flows.
+        impl = "auto" if cfg.use_pallas else "jnp"
+        idx = knn(x, cfg.knn_k, impl=impl)
+        adj = mean_adjacency(idx, n, dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        f = x.astype(dtype)
+        scales = []
+        for i, ch in enumerate(cfg.proxyconv_channels):
+            f = ProxyConv(ch, dtype=dtype, name=f"proxyconv_{i}")(f, adj, train, momentum)
+            scales.append(f)
+
+        f_cat = jnp.concatenate(scales, axis=-1)  # multi-scale concat [PAPER Fig. 2]
+        f_lift = SharedMLP(cfg.lift_channels, dtype=dtype, name="lift")(
+            f_cat, train, momentum
+        )  # [B, N, feature_dim]
+
+        return GVLADHead(cfg, name="gvlad")(f_lift, train, momentum)
+
+
+def param_count(params) -> int:
+    return sum(int(jnp.size(p)) for p in jax.tree_util.tree_leaves(params))

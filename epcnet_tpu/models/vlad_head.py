@@ -1,0 +1,73 @@
+"""G-VLAD / NetVLAD aggregation heads.
+
+Reference equivalent: the NetVLAD-style aggregation class of the
+PointNetVLAD heritage plus EPC-Net's grouped fully-connected ("G-VLAD")
+[PAPER §III-C; LINEAGE: models/ gvlad / NetVLAD forward()].
+
+G-VLAD: the C·D VLAD vector is split into G groups; a per-group small FC
+maps each group down, the results are concatenated and a final FC produces
+the 256-D descriptor. With G=1 and group_dim=output_dim this degrades to
+PointNetVLAD's single dense 65536->256 FC (BASELINE config #3's parity
+check). Context gating follows PointNetVLAD [LINEAGE].
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from epcnet_tpu.configs import ModelConfig
+from epcnet_tpu.ops.vlad import vlad_aggregate
+
+
+class GVLADHead(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, features, train: bool, momentum):
+        # features: [B, N, D] per-point features
+        cfg = self.cfg
+        c, d = cfg.vlad_clusters, cfg.feature_dim
+        assert features.shape[-1] == d, (features.shape, d)
+
+        # Soft-assignment logits: a 1x1 conv over points [LINEAGE].
+        logits = nn.Dense(c, name="assign", dtype=jnp.float32)(
+            features.astype(jnp.float32)
+        )
+        centroids = self.param(
+            "centroids", nn.initializers.normal(1.0 / jnp.sqrt(d)), (c, d), jnp.float32
+        )
+        impl = "auto" if cfg.use_pallas else "jnp"
+        v = vlad_aggregate(features, logits, centroids, impl=impl)  # [B, C*D] fp32
+
+        # Grouped FC (the "G" of G-VLAD).
+        g = cfg.vlad_groups
+        assert (c * d) % g == 0, f"C*D={c*d} not divisible by groups={g}"
+        group_in = (c * d) // g
+        b = v.shape[0]
+        vg = v.reshape(b, g, group_in)
+        wg = self.param(
+            "group_w",
+            nn.initializers.lecun_normal(),
+            (g, group_in, cfg.vlad_group_dim),
+            jnp.float32,
+        )
+        bg = self.param(
+            "group_b", nn.initializers.zeros, (g, cfg.vlad_group_dim), jnp.float32
+        )
+        h = (
+            jnp.einsum(
+                "bgi,gio->bgo", vg, wg, precision=jax.lax.Precision.HIGHEST
+            )
+            + bg
+        )  # [B, G, group_dim]
+        h = h.reshape(b, g * cfg.vlad_group_dim)
+        out = nn.Dense(cfg.output_dim, name="out_fc", dtype=jnp.float32)(h)
+
+        if cfg.gating:
+            gate = nn.sigmoid(nn.Dense(cfg.output_dim, name="gate", dtype=jnp.float32)(out))
+            out = out * gate
+
+        # Final L2 normalization — the retrieval contract (SURVEY.md §3.4).
+        return out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)

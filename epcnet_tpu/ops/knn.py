@@ -1,0 +1,169 @@
+"""k-nearest-neighbour graph construction (the "spatial adjacency matrix").
+
+Reference equivalent: pure-TF ``pairwise_distance`` + ``tf.nn.top_k`` in
+models/ [LINEAGE; PAPER §III-A], computed ONCE on input xyz and reused by
+every ProxyConv layer, plus the CUDA ``selection_sort`` kNN inside
+tf_ops/grouping/tf_grouping_g.cu [LINEAGE] in the PointNet++ family.
+
+TPU-native design (SURVEY.md §5.7 / §7.4): the Pallas kernel tiles the
+query axis, computes each [TQ, N] fp32 distance slab on the MXU via the
+``||q||^2 + ||x||^2 - 2 q.x`` expansion, and extracts the K nearest with an
+in-VMEM iterative min-extraction (K rounds of masked min), so the full N×N
+matrix never round-trips through HBM. Tie-breaking matches
+``jax.lax.top_k(-d)``: equal distances resolve to the lowest index first.
+
+Distances are kept fp32 throughout — bf16 ties reorder neighbours and
+perturb descriptor topology (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from epcnet_tpu.ops.pairwise import pairwise_sqdist
+
+_COORD_PAD = 8  # pad the (tiny) coordinate axis up to one sublane
+_LANE = 128
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+# ----------------------------------------------------------------------------
+# jnp oracle
+# ----------------------------------------------------------------------------
+
+
+def knn_jnp(x: jnp.ndarray, k: int, return_dists: bool = False):
+    """Oracle kNN: full pairwise matrix + top_k.
+
+    Args:
+      x: [..., N, D] point coordinates (or features).
+      k: neighbours per point (self included at distance 0).
+
+    Returns:
+      idx [..., N, k] int32 (and dists [..., N, k] fp32 if requested),
+      nearest-first.
+    """
+    d = pairwise_sqdist(x)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    idx = idx.astype(jnp.int32)
+    if return_dists:
+        return idx, -neg_d
+    return idx
+
+
+# ----------------------------------------------------------------------------
+# Pallas kernel
+# ----------------------------------------------------------------------------
+
+
+def _knn_kernel(x_ref, xt_ref, idx_ref, dist_ref, *, n: int, k: int, kpad: int):
+    q = x_ref[0].astype(jnp.float32)  # [TQ, CP]
+    xt = xt_ref[0].astype(jnp.float32)  # [CP, N]
+
+    cross = jnp.dot(
+        q, xt, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TQ, N] (MXU, fp32 passes)
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)  # [TQ, 1]
+    db_sq = jnp.sum(xt * xt, axis=0, keepdims=True)  # [1, N]
+    d = jnp.maximum(q_sq + db_sq - 2.0 * cross, 0.0)
+
+    tq = d.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (tq, kpad), 1)
+
+    def body(j, carry):
+        d_cur, idx_acc, dist_acc = carry
+        m = jnp.min(d_cur, axis=1, keepdims=True)  # [TQ, 1]
+        cand = jnp.where(d_cur <= m, col_ids, n)
+        sel = jnp.min(cand, axis=1, keepdims=True)  # [TQ, 1] lowest-index tie-break
+        idx_acc = jnp.where(out_cols == j, sel, idx_acc)
+        dist_acc = jnp.where(out_cols == j, m, dist_acc)
+        d_cur = jnp.where(col_ids == sel, jnp.inf, d_cur)
+        return d_cur, idx_acc, dist_acc
+
+    idx0 = jnp.zeros((tq, kpad), jnp.int32)
+    dist0 = jnp.full((tq, kpad), jnp.inf, jnp.float32)
+    _, idx_acc, dist_acc = jax.lax.fori_loop(0, k, body, (d, idx0, dist0))
+
+    idx_ref[0] = idx_acc
+    dist_ref[0] = dist_acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "interpret"))
+def _knn_pallas_batched(xp, k: int, tile_q: int, interpret: bool):
+    b, npad, cp = xp.shape
+    kpad = max(_LANE, -(-k // _LANE) * _LANE)
+    xt = jnp.swapaxes(xp, -1, -2)  # [B, CP, Npad]
+    grid = (b, npad // tile_q)
+    idx, dist = pl.pallas_call(
+        functools.partial(_knn_kernel, n=npad, k=k, kpad=kpad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, cp), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp, npad), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((b, npad, kpad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, xt)
+    return idx, dist
+
+
+def knn_pallas(
+    x: jnp.ndarray,
+    k: int,
+    return_dists: bool = False,
+    tile_q: int = 256,
+    interpret: bool | None = None,
+):
+    """Blockwise Pallas kNN. Accepts [..., N, D]; D <= 8."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    *lead, n, d_in = x.shape
+    if d_in > _COORD_PAD:
+        raise ValueError(f"knn_pallas supports coordinate dim <= {_COORD_PAD}, got {d_in}")
+    b = 1
+    for s in lead:
+        b *= s
+    xb = x.reshape(b, n, d_in).astype(jnp.float32)
+
+    tile_q = min(tile_q, max(8, n))
+    npad = -(-n // tile_q) * tile_q
+    pad_n = npad - n
+    # Padded DB points sit far away so they are never selected (requires n >= k).
+    xb = jnp.pad(xb, ((0, 0), (0, pad_n), (0, 0)), constant_values=1e6)
+    xb = jnp.pad(xb, ((0, 0), (0, 0), (0, _COORD_PAD - d_in)))
+
+    idx, dist = _knn_pallas_batched(xb, k, tile_q, interpret)
+    idx = idx[:, :n, :k].reshape(*lead, n, k)
+    if return_dists:
+        return idx, dist[:, :n, :k].reshape(*lead, n, k)
+    return idx
+
+
+def knn(x: jnp.ndarray, k: int, return_dists: bool = False, impl: str = "auto"):
+    """Dispatching kNN front-end. impl: auto | jnp | pallas."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "jnp"
+    if impl == "pallas":
+        return knn_pallas(x, k, return_dists=return_dists)
+    return knn_jnp(x, k, return_dists=return_dists)

@@ -1,0 +1,91 @@
+"""Descriptor retrieval: batched query-vs-database distance + top-k.
+
+Reference equivalent: evaluate.py builds a sklearn ``KDTree`` over database
+descriptors and queries it per query vector [LINEAGE: evaluate.py
+get_recall()]. At this database scale (10^3–10^5 vectors, 256-D) an exact
+brute-force distance MATMUL on the MXU is both faster and exact, and it
+shards naturally over ICI (SURVEY.md §3.2, §5.8): each device holds DB/ndev
+rows, computes local top-k, and the tiny per-shard candidate lists are
+all-gathered and merged.
+
+Descriptors are L2-normalized, so squared L2 distance = 2 - 2 q.d — we rank
+by inner product (descending), which is monotonic in distance and cheaper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def l2_distance_matrix(queries: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
+    """[Q, D] x [N, D] -> [Q, N] squared L2 distances (fp32, MXU matmul)."""
+    q = queries.astype(jnp.float32)
+    d = database.astype(jnp.float32)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    dd = jnp.sum(d * d, axis=-1)[None, :]
+    cross = jnp.einsum(
+        "qd,nd->qn", q, d, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.maximum(qq + dd - 2.0 * cross, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_neighbors(queries: jnp.ndarray, database: jnp.ndarray, k: int):
+    """Exact k-NN of each query in the database.
+
+    Returns (idx [Q, k] int32, sqdist [Q, k] fp32), nearest first.
+    """
+    d = l2_distance_matrix(queries, database)
+    neg, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32), -neg
+
+
+def sharded_topk_neighbors(
+    queries: jnp.ndarray,
+    database: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "db",
+):
+    """ICI-sharded exact retrieval (SURVEY.md §2.3 "TP for retrieval").
+
+    The database rows are sharded over ``axis``; queries are replicated. Each
+    device computes its local [Q, k] candidates; candidates (k·ndev per query
+    — tiny) are all-gathered over ICI and re-reduced to the global top-k.
+    Local shard indices are rebased to global rows before the merge.
+    """
+    ndev = mesh.shape[axis]
+    n = database.shape[0]
+    shard = -(-n // ndev) * ndev  # pad DB rows to a multiple of ndev
+    db = jnp.pad(
+        database, ((0, shard - n), (0, 0)), constant_values=1e6
+    )  # pad rows live far away -> never in top-k (requires n >= k)
+
+    def local(q, db_shard):
+        my = jax.lax.axis_index(axis)
+        idx, dist = topk_neighbors(q, db_shard, k)
+        gidx = idx + my * db_shard.shape[0]
+        # all-gather the candidate lists: [ndev, Q, k]
+        all_idx = jax.lax.all_gather(gidx, axis)
+        all_dist = jax.lax.all_gather(dist, axis)
+        qn = q.shape[0]
+        cat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(qn, ndev * k)
+        cat_dist = jnp.moveaxis(all_dist, 0, 1).reshape(qn, ndev * k)
+        neg, pos = jax.lax.top_k(-cat_dist, k)
+        merged_idx = jnp.take_along_axis(cat_idx, pos, axis=-1)
+        return merged_idx, -neg
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    q = jax.device_put(queries, NamedSharding(mesh, P()))
+    db = jax.device_put(db, NamedSharding(mesh, P(axis)))
+    return fn(q, db)
