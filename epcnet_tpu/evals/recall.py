@@ -1,0 +1,180 @@
+"""Recall@N evaluation harness.
+
+Reference equivalent: evaluate.py [LINEAGE; SURVEY.md §3.2]: for every
+(database run, query run) pair of each region, embed all submaps, find each
+query's top-25 database neighbours, and score
+  - recall@k, k=1..25: fraction of queries whose ground-truth set intersects
+    the top-k;
+  - recall@top-1%: k = max(ceil(|DB|/100), 1);
+averaged over pairs then regions.
+
+The reference's CPU sklearn KDTree is replaced by the exact MXU brute-force
+top-k (ops/retrieval.py), optionally ICI-sharded over the mesh's "db" axis
+for pod-scale databases (BASELINE config #5).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from epcnet_tpu.configs import DataConfig, EvalConfig
+from epcnet_tpu.data.pointclouds import load_pc_file
+from epcnet_tpu.ops.retrieval import sharded_topk_neighbors, topk_neighbors
+
+
+def embed_entries(
+    embed_fn, params, batch_stats, entries: dict, data_cfg: DataConfig, batch_size: int = 64
+) -> np.ndarray:
+    """Embed every submap of a database/query set dict -> [n, D] fp32."""
+    n = len(entries)
+    descs = []
+    for s in range(0, n, batch_size):
+        ids = range(s, min(s + batch_size, n))
+        pts = np.stack(
+            [
+                load_pc_file(entries[i]["query"], data_cfg.dataset_root, data_cfg.num_points)
+                for i in ids
+            ]
+        )
+        pad = batch_size - pts.shape[0]
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
+        d = np.asarray(embed_fn(params, batch_stats, jnp.asarray(pts)))
+        descs.append(d[: len(list(ids))])
+    return np.concatenate(descs, axis=0)
+
+
+def get_recall(
+    db_desc: np.ndarray,
+    q_desc: np.ndarray,
+    gt: list[list[int]],
+    top_k: int = 25,
+    mesh=None,
+):
+    """recall@1..top_k and recall@top-1% for one (database, query-run) pair.
+
+    gt[i] = ground-truth database indices for query i (may be empty —
+    such queries are skipped, as in the reference).
+    """
+    one_percent_k = max(int(np.ceil(len(db_desc) / 100.0)), 1)
+    k = max(top_k, one_percent_k)
+    k = min(k, len(db_desc))
+    if mesh is not None and "db" in mesh.shape and mesh.shape["db"] > 1:
+        idx, _ = sharded_topk_neighbors(
+            jnp.asarray(q_desc), jnp.asarray(db_desc), k, mesh
+        )
+    else:
+        idx, _ = topk_neighbors(jnp.asarray(q_desc), jnp.asarray(db_desc), k)
+    idx = np.asarray(idx)
+
+    recall = np.zeros(top_k)
+    one_percent_hits = 0
+    evaluated = 0
+    for i, gti in enumerate(gt):
+        if not gti:
+            continue
+        evaluated += 1
+        gts = set(gti)
+        hits = [j for j, n in enumerate(idx[i]) if int(n) in gts]
+        if hits:
+            first = hits[0]
+            if first < top_k:
+                recall[first:] += 1
+            if first < one_percent_k:
+                one_percent_hits += 1
+    if evaluated == 0:
+        return np.zeros(top_k), 0.0, 0
+    return recall / evaluated, one_percent_hits / evaluated, evaluated
+
+
+def evaluate_region(
+    embed_fn,
+    params,
+    batch_stats,
+    database_sets: list[dict],
+    query_sets: list[dict],
+    data_cfg: DataConfig,
+    eval_cfg: EvalConfig | None = None,
+    mesh=None,
+):
+    """All (database run i, query run j != i) pairs of one region
+    [LINEAGE: evaluate.py evaluate()]. Returns dict of averaged metrics."""
+    eval_cfg = eval_cfg or EvalConfig()
+    db_descs = [
+        embed_entries(embed_fn, params, batch_stats, s, data_cfg, eval_cfg.batch_size)
+        for s in database_sets
+    ]
+    q_descs = [
+        embed_entries(embed_fn, params, batch_stats, s, data_cfg, eval_cfg.batch_size)
+        for s in query_sets
+    ]
+    recalls, one_percents = [], []
+    for di in range(len(database_sets)):
+        for qi in range(len(query_sets)):
+            if di == qi:
+                continue
+            qset = query_sets[qi]
+            gt = [qset[i].get(di, []) for i in range(len(qset))]
+            r, p1, n_eval = get_recall(
+                db_descs[di], q_descs[qi], gt, eval_cfg.top_k, mesh
+            )
+            if n_eval:
+                recalls.append(r)
+                one_percents.append(p1)
+    if not recalls:
+        return {"recall_at": np.zeros(eval_cfg.top_k), "recall_at_1pct": 0.0}
+    return {
+        "recall_at": np.mean(recalls, axis=0),
+        "recall_at_1pct": float(np.mean(one_percents)),
+    }
+
+
+def evaluate_dataset(
+    embed_fn, params, batch_stats, regions: dict, data_cfg: DataConfig,
+    eval_cfg: EvalConfig | None = None, mesh=None,
+):
+    """regions: {name: (database_sets, query_sets)}. Averages across regions
+    (the reference's final results.txt table)."""
+    out = {}
+    per_region = []
+    for name, (db_sets, q_sets) in regions.items():
+        m = evaluate_region(
+            embed_fn, params, batch_stats, db_sets, q_sets, data_cfg, eval_cfg, mesh
+        )
+        out[name] = m
+        per_region.append(m)
+    out["average"] = {
+        "recall_at": np.mean([m["recall_at"] for m in per_region], axis=0),
+        "recall_at_1pct": float(np.mean([m["recall_at_1pct"] for m in per_region])),
+    }
+    return out
+
+
+def retrieval_latency_probe(
+    db_desc: np.ndarray, num_queries: int = 256, top_k: int = 25, mesh=None, seed: int = 0
+):
+    """p50/p99 single-query retrieval latency (BASELINE metric set)."""
+    rng = np.random.default_rng(seed)
+    qs = db_desc[rng.integers(0, len(db_desc), num_queries)] + 1e-3 * rng.standard_normal(
+        (num_queries, db_desc.shape[1])
+    ).astype(np.float32)
+    db = jnp.asarray(db_desc)
+    lat = []
+    # warmup/compile
+    topk_neighbors(jnp.asarray(qs[:1]), db, top_k)[0].block_until_ready()
+    for i in range(num_queries):
+        q = jnp.asarray(qs[i : i + 1])
+        t0 = time.perf_counter()
+        idx, _ = topk_neighbors(q, db, top_k)
+        idx.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat = np.sort(np.array(lat))
+    return {
+        "p50_ms": float(lat[int(0.50 * len(lat))] * 1e3),
+        "p99_ms": float(lat[min(int(0.99 * len(lat)), len(lat) - 1)] * 1e3),
+    }

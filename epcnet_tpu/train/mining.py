@@ -1,0 +1,96 @@
+"""Hard-negative mining cache.
+
+Reference equivalent: train.py's TRAINING_LATENT_VECTORS — a periodic
+full-training-set embedding sweep whose cache supplies the hardest negatives
+per query [LINEAGE; SURVEY.md §3.1 — the reference's biggest wall-clock sink
+outside SGD]. Here the sweep is one jitted batched embed over device-resident
+batches (sharded over the mesh's data axis when present); only the final
+[num_tuples, 256] fp32 matrix (a few MB) lands on host for the loader's
+negative sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from epcnet_tpu.configs import DataConfig, TrainConfig
+from epcnet_tpu.data.loader import TupleLoader
+from epcnet_tpu.data.pointclouds import load_pc_file
+from epcnet_tpu.data.tuples import TrainingTuples
+
+
+class MiningCache:
+    """Latent-vector cache + hardest-negative sampler."""
+
+    def __init__(
+        self,
+        tuples: TrainingTuples,
+        data_cfg: DataConfig,
+        train_cfg: TrainConfig,
+        embed_fn,
+        batch_size: int = 64,
+    ):
+        self.tuples = tuples
+        self.data_cfg = data_cfg
+        self.train_cfg = train_cfg
+        self.embed_fn = embed_fn
+        self.batch_size = batch_size
+        self.latents: np.ndarray | None = None  # [num_tuples, D]
+        self._rng = np.random.default_rng(train_cfg.seed + 17)
+
+    def refresh(self, params, batch_stats, sharding=None) -> None:
+        """Re-embed every training submap (the reference's get_latent_vectors
+        sweep). Pads the tail batch so one compiled shape serves the sweep."""
+        n = len(self.tuples.queries)
+        ids = list(range(n))
+        chunks = []
+        bs = self.batch_size
+        for s in range(0, n, bs):
+            batch_ids = ids[s : s + bs]
+            pts = np.stack(
+                [
+                    load_pc_file(
+                        self.tuples.queries[i]["query"],
+                        self.data_cfg.dataset_root,
+                        self.data_cfg.num_points,
+                    )
+                    for i in batch_ids
+                ]
+            )
+            pad = bs - len(batch_ids)
+            if pad:
+                pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
+            x = jnp.asarray(pts)
+            if sharding is not None:
+                x = jax.device_put(x, sharding)
+            d = np.asarray(self.embed_fn(params, batch_stats, x))
+            chunks.append(d[: len(batch_ids)])
+        self.latents = np.concatenate(chunks, axis=0)
+
+    def hard_negatives(self, query_idx: int) -> list[int] | None:
+        """Hardest negatives for a query: its cached-latent nearest negatives
+        [LINEAGE: train.py get_random_hard_negatives]."""
+        if self.latents is None:
+            return None
+        entry = self.tuples.queries[query_idx]
+        pool = entry["negatives"]
+        if not pool:
+            return None
+        cap = self.train_cfg.sampled_neg_pool
+        if len(pool) > cap:
+            pool = list(self._rng.choice(pool, cap, replace=False))
+        cand = self.latents[np.asarray(pool, np.int64)]
+        qv = self.latents[query_idx]
+        d = np.sum((cand - qv) ** 2, axis=-1)
+        k = min(self.train_cfg.hard_neg_per_tuple, len(pool))
+        hardest = np.argpartition(d, k - 1)[:k]
+        hardest = hardest[np.argsort(d[hardest])]
+        return [int(pool[i]) for i in hardest]
+
+    def attach(self, loader: TupleLoader) -> None:
+        loader.set_hard_negatives(self.hard_negatives)

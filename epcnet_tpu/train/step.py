@@ -1,0 +1,159 @@
+"""Jitted train / embed steps.
+
+Reference equivalent: the graph built in train.py train() — tuple forward,
+quadruplet loss, Adam minimize [LINEAGE; SURVEY.md §3.1]. One apply() runs
+ALL clouds of the batch's tuples (query + positives + negatives + other_neg)
+through the network at once — exactly the reference's stacked placeholder —
+so BatchNorm sees the same statistics and the MXU sees one big batch.
+
+Sharding model: the step itself is mesh-agnostic; the trainer device_puts
+the batch with its leading axis sharded over the mesh's "data" axis and the
+state replicated, and GSPMD inserts the gradient/BN psums over ICI
+(SURVEY.md §5.8). Works identically on 1 chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from epcnet_tpu.configs import ModelConfig, TrainConfig
+from epcnet_tpu import losses as losses_lib
+from epcnet_tpu.models import get_model
+from epcnet_tpu.train.state import TrainState, bn_momentum_schedule, lr_schedule
+
+
+def build_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
+    """Returns jitted ``step(state, batch) -> (state, metrics)``.
+
+    batch: query [B,N,3], positives [B,P,N,3], negatives [B,Ng,N,3],
+    other_neg [B,N,3] (other_neg required for quadruplet losses).
+    """
+    model = get_model(model_cfg)
+    loss_fn = losses_lib.get_loss(train_cfg.loss)
+    quad = "quadruplet" in train_cfg.loss
+    bn_mom = bn_momentum_schedule(train_cfg)
+    lr = lr_schedule(train_cfg)
+
+    def compute_loss(params, batch_stats, batch, step):
+        q, pos, neg = batch["query"], batch["positives"], batch["negatives"]
+        b, p, n, _ = pos.shape
+        ng = neg.shape[1]
+        parts = [q[:, None], pos, neg]
+        if quad:
+            parts.append(batch["other_neg"][:, None])
+        clouds = jnp.concatenate(parts, axis=1)  # [B, T, N, 3]
+        t = clouds.shape[1]
+        flat = clouds.reshape(b * t, n, 3)
+        desc, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat,
+            train=True,
+            momentum=bn_mom(step),
+            mutable=["batch_stats"],
+        )
+        desc = desc.reshape(b, t, -1)
+        qd = desc[:, 0]
+        pd = desc[:, 1 : 1 + p]
+        nd = desc[:, 1 + p : 1 + p + ng]
+        if quad:
+            od = desc[:, -1]
+            loss = loss_fn(qd, pd, nd, od, train_cfg.margin_1, train_cfg.margin_2)
+        else:
+            loss = loss_fn(qd, pd, nd, train_cfg.margin_1)
+        aux = {
+            "best_pos_dist": jnp.mean(losses_lib.best_pos_distance(qd, pd)),
+            "min_neg_dist": jnp.mean(
+                jnp.min(jnp.sum((nd - qd[:, None]) ** 2, -1), axis=-1)
+            ),
+        }
+        return loss, (mut["batch_stats"], aux)
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params, state.batch_stats, batch, state.step)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = {
+            "loss": loss,
+            "learning_rate": lr(state.step),
+            "bn_momentum": bn_mom(state.step),
+            **aux,
+        }
+        return state, metrics
+
+    return step
+
+
+def build_embed_fn(model_cfg: ModelConfig) -> Callable:
+    """Returns jitted ``embed(params, batch_stats, points[B,N,3]) -> [B,D]``
+    (inference mode — running BN stats). Used by eval and the mining sweep."""
+    model = get_model(model_cfg)
+
+    @jax.jit
+    def embed(params, batch_stats, points):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, points, train=False
+        )
+
+    return embed
+
+
+def build_distill_step(
+    student_cfg: ModelConfig,
+    teacher_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    alpha: float = 1.0,
+) -> Callable:
+    """EPC-Net-L distillation [PAPER §III-D]: metric loss + feature-mimic MSE
+    against frozen-teacher descriptors.
+
+    Returns jitted ``step(state, teacher_vars, batch) -> (state, metrics)``.
+    """
+    student = get_model(student_cfg)
+    teacher = get_model(teacher_cfg)
+    loss_fn = losses_lib.get_loss(train_cfg.loss)
+    quad = "quadruplet" in train_cfg.loss
+    bn_mom = bn_momentum_schedule(train_cfg)
+
+    def compute_loss(params, batch_stats, teacher_vars, batch, step):
+        q, pos, neg = batch["query"], batch["positives"], batch["negatives"]
+        b, p, n, _ = pos.shape
+        ng = neg.shape[1]
+        parts = [q[:, None], pos, neg]
+        if quad:
+            parts.append(batch["other_neg"][:, None])
+        clouds = jnp.concatenate(parts, axis=1)
+        t = clouds.shape[1]
+        flat = clouds.reshape(b * t, n, 3)
+        desc, mut = student.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat,
+            train=True,
+            momentum=bn_mom(step),
+            mutable=["batch_stats"],
+        )
+        t_desc = jax.lax.stop_gradient(teacher.apply(teacher_vars, flat, train=False))
+        mimic = losses_lib.distillation_loss(desc, t_desc)
+        desc = desc.reshape(b, t, -1)
+        qd, pd, nd = desc[:, 0], desc[:, 1 : 1 + p], desc[:, 1 + p : 1 + p + ng]
+        if quad:
+            metric = loss_fn(qd, pd, nd, desc[:, -1], train_cfg.margin_1, train_cfg.margin_2)
+        else:
+            metric = loss_fn(qd, pd, nd, train_cfg.margin_1)
+        loss = metric + alpha * mimic
+        return loss, (mut["batch_stats"], {"metric_loss": metric, "mimic_loss": mimic})
+
+    @jax.jit
+    def step(state: TrainState, teacher_vars, batch):
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params, state.batch_stats, teacher_vars, batch, state.step)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        return state, {"loss": loss, **aux}
+
+    return step

@@ -1,0 +1,50 @@
+"""Structured JSONL metrics + plain-text logging.
+
+Reference equivalent: train.py's ``log_string()`` appending to
+log_train.txt and tf.summary scalars [LINEAGE; SURVEY.md §5.5]. JSONL is
+the machine-readable upgrade: one {"step": ..., metrics...} object per line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Mapping
+
+
+def log_string(msg: str, log_file=None) -> None:
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    if log_file is not None:
+        log_file.write(line + "\n")
+        log_file.flush()
+
+
+class MetricsLogger:
+    """JSONL metrics writer (+ echo to stdout every ``echo_every`` calls)."""
+
+    def __init__(self, log_dir: str, name: str = "metrics", echo_every: int = 0):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}.jsonl")
+        self._f = open(self.path, "a")
+        self.echo_every = echo_every
+        self._count = 0
+
+    def write(self, step: int, metrics: Mapping[str, Any], **extra) -> None:
+        rec = {"step": int(step), "time": time.time(), **extra}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        self._count += 1
+        if self.echo_every and self._count % self.echo_every == 0:
+            short = {k: (round(v, 5) if isinstance(v, float) else v) for k, v in rec.items() if k != "time"}
+            print(short, file=sys.stderr, flush=True)
+
+    def close(self) -> None:
+        self._f.close()
