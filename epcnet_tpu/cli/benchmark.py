@@ -1,0 +1,96 @@
+"""Benchmark CLI: per-kernel and end-to-end timings.
+
+  python -m epcnet_tpu.cli.benchmark [--batch 32] [--num_points 4096] [--json]
+
+Covers the BASELINE metric set: embedding submaps/sec/chip, kNN kernel
+latency (pallas vs XLA), VLAD kernel latency, retrieval p50/p99.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(f, iters=20):
+    import jax
+
+    jax.block_until_ready(f())  # compile/warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from epcnet_tpu.configs import ModelConfig
+    from epcnet_tpu.models import get_model
+    from epcnet_tpu.ops.knn import knn_jnp, knn_pallas
+    from epcnet_tpu.ops.retrieval import topk_neighbors
+    from epcnet_tpu.ops.vlad import vlad_aggregate_jnp, vlad_aggregate_pallas
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--num_points", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--db_size", type=int, default=4096)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    rng = np.random.default_rng(0)
+    b, n = args.batch, args.num_points
+    x = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)), jnp.float32)
+    out = {"backend": jax.default_backend(), "batch": b, "num_points": n}
+
+    # kNN kernel
+    jit_knn = jax.jit(lambda x: knn_jnp(x, 20))
+    out["knn_xla_ms"] = round(_timeit(lambda: jit_knn(x), args.iters) * 1e3, 3)
+    if on_tpu:
+        out["knn_pallas_ms"] = round(
+            _timeit(lambda: knn_pallas(x, 20), args.iters) * 1e3, 3
+        )
+
+    # VLAD kernel
+    f = jnp.asarray(rng.standard_normal((b, n, 1024)), jnp.float32)
+    lg = jnp.asarray(rng.standard_normal((b, n, 64)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((64, 1024)), jnp.float32)
+    jit_vlad = jax.jit(lambda f, lg, c: vlad_aggregate_jnp(f, lg, c))
+    out["vlad_xla_ms"] = round(_timeit(lambda: jit_vlad(f, lg, c), args.iters) * 1e3, 3)
+    if on_tpu:
+        out["vlad_pallas_ms"] = round(
+            _timeit(lambda: vlad_aggregate_pallas(f, lg, c), args.iters) * 1e3, 3
+        )
+
+    # end-to-end embed
+    cfg = ModelConfig(num_points=n, use_pallas=on_tpu)
+    model = get_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    embed = jax.jit(lambda v, p: model.apply(v, p, train=False))
+    dt = _timeit(lambda: embed(variables, x), args.iters)
+    out["embed_ms"] = round(dt * 1e3, 3)
+    out["submaps_per_sec"] = round(b / dt, 2)
+
+    # retrieval
+    db = jnp.asarray(rng.standard_normal((args.db_size, 256)), jnp.float32)
+    q1 = jnp.asarray(rng.standard_normal((1, 256)), jnp.float32)
+    out["retrieval_1q_ms"] = round(
+        _timeit(lambda: topk_neighbors(q1, db, 25), args.iters) * 1e3, 3
+    )
+
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k:24s} {v}")
+
+
+if __name__ == "__main__":
+    main()

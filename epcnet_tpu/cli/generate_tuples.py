@@ -1,0 +1,74 @@
+"""Tuple/test-set generation CLI.
+
+Reference equivalent: generating_queries/generate_training_tuples_baseline.py,
+_refine.py and generate_test_sets.py [LINEAGE; SURVEY.md §3.3], folded into
+one driver:
+
+  python -m epcnet_tpu.cli.generate_tuples --dataset_root D --mode baseline
+  python -m epcnet_tpu.cli.generate_tuples --dataset_root D --mode test
+  python -m epcnet_tpu.cli.generate_tuples --dataset_root D --synthetic  # fixtures
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from epcnet_tpu.data.synthetic import generate_synthetic_dataset
+from epcnet_tpu.data.tuples import (
+    construct_query_and_database_sets,
+    construct_query_dict,
+    save_pickle,
+    scan_runs,
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset_root", required=True)
+    ap.add_argument("--runs_subdir", default="oxford")
+    ap.add_argument("--pointcloud_dir", default="pointcloud_20m_10overlap")
+    ap.add_argument("--csv_name", default="pointcloud_locations_20m_10overlap.csv")
+    ap.add_argument("--mode", choices=["baseline", "refine", "test"], default="baseline")
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--positive_radius", type=float, default=10.0)
+    ap.add_argument("--negative_radius", type=float, default=50.0)
+    ap.add_argument("--test_positive_radius", type=float, default=25.0)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="first generate a synthetic dataset at dataset_root")
+    ap.add_argument("--synthetic_runs", type=int, default=3)
+    ap.add_argument("--synthetic_submaps", type=int, default=40)
+    ap.add_argument("--num_points", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    if args.synthetic:
+        generate_synthetic_dataset(
+            args.dataset_root, args.synthetic_runs, args.synthetic_submaps,
+            args.num_points, args.runs_subdir, args.pointcloud_dir, args.csv_name,
+        )
+    out_dir = args.output_dir or args.dataset_root
+    df = scan_runs(args.dataset_root, args.runs_subdir, args.pointcloud_dir, args.csv_name)
+
+    if args.mode in ("baseline", "refine"):
+        # refine = baseline + in-house runs in training; with a single
+        # runs_subdir both reduce to the same scan, matching reference flags.
+        tt = construct_query_dict(
+            df, args.positive_radius, args.negative_radius,
+            exclude_test_regions=(args.mode == "baseline"),
+        )
+        path = os.path.join(out_dir, f"training_queries_{args.mode}.pickle")
+        save_pickle(tt.queries, path)
+        print(f"wrote {len(tt.queries)} tuples -> {path}")
+    else:
+        db_sets, q_sets = construct_query_and_database_sets(
+            df, args.test_positive_radius
+        )
+        dbp = os.path.join(out_dir, f"{args.runs_subdir}_evaluation_database.pickle")
+        qp = os.path.join(out_dir, f"{args.runs_subdir}_evaluation_query.pickle")
+        save_pickle(db_sets, dbp)
+        save_pickle(q_sets, qp)
+        print(f"wrote {len(db_sets)} runs -> {dbp}, {qp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from epcnet_tpu.configs import DataConfig, EvalConfig
-from epcnet_tpu.data.pointclouds import load_pc_file
+from epcnet_tpu.data.native_loader import load_pc_files_native
 from epcnet_tpu.ops.retrieval import sharded_topk_neighbors, topk_neighbors
 
 
@@ -33,19 +33,17 @@ def embed_entries(
     """Embed every submap of a database/query set dict -> [n, D] fp32."""
     n = len(entries)
     descs = []
+    buf = np.zeros((batch_size, data_cfg.num_points, 3), np.float32)
     for s in range(0, n, batch_size):
-        ids = range(s, min(s + batch_size, n))
-        pts = np.stack(
-            [
-                load_pc_file(entries[i]["query"], data_cfg.dataset_root, data_cfg.num_points)
-                for i in ids
-            ]
+        cnt = min(s + batch_size, n) - s
+        files = [entries[s + j]["query"] for j in range(cnt)]
+        load_pc_files_native(
+            files, data_cfg.dataset_root, data_cfg.num_points, out=buf[:cnt]
         )
-        pad = batch_size - pts.shape[0]
-        if pad:
-            pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
-        d = np.asarray(embed_fn(params, batch_stats, jnp.asarray(pts)))
-        descs.append(d[: len(list(ids))])
+        if cnt < batch_size:
+            buf[cnt:] = 0.0
+        d = np.asarray(embed_fn(params, batch_stats, jnp.asarray(buf)))
+        descs.append(d[:cnt])
     return np.concatenate(descs, axis=0)
 
 

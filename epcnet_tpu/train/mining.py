@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from epcnet_tpu.configs import DataConfig, TrainConfig
 from epcnet_tpu.data.loader import TupleLoader
-from epcnet_tpu.data.pointclouds import load_pc_file
+from epcnet_tpu.data.native_loader import load_pc_files_native
 from epcnet_tpu.data.tuples import TrainingTuples
 
 
@@ -50,21 +50,20 @@ class MiningCache:
         ids = list(range(n))
         chunks = []
         bs = self.batch_size
+        buf = np.zeros((bs, self.data_cfg.num_points, 3), np.float32)
         for s in range(0, n, bs):
             batch_ids = ids[s : s + bs]
-            pts = np.stack(
-                [
-                    load_pc_file(
-                        self.tuples.queries[i]["query"],
-                        self.data_cfg.dataset_root,
-                        self.data_cfg.num_points,
-                    )
-                    for i in batch_ids
-                ]
+            files = [self.tuples.queries[i]["query"] for i in batch_ids]
+            # native GIL-free parallel load into the reused buffer
+            load_pc_files_native(
+                files,
+                self.data_cfg.dataset_root,
+                self.data_cfg.num_points,
+                out=buf[: len(batch_ids)],
             )
-            pad = bs - len(batch_ids)
-            if pad:
-                pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
+            if len(batch_ids) < bs:
+                buf[len(batch_ids):] = 0.0
+            pts = buf
             x = jnp.asarray(pts)
             if sharding is not None:
                 x = jax.device_put(x, sharding)

@@ -1,0 +1,122 @@
+"""Data-plane tests: IO round-trip, augmentation, tuple generation
+semantics (radii, test-region exclusion), loader batching."""
+
+import os
+
+import numpy as np
+import pytest
+
+from epcnet_tpu.configs import DataConfig
+from epcnet_tpu.data import (
+    TupleLoader,
+    construct_query_and_database_sets,
+    construct_query_dict,
+    jitter_point_cloud,
+    load_pc_file,
+    rotate_point_cloud,
+)
+from epcnet_tpu.data.tuples import in_test_region, scan_runs
+
+
+def test_load_pc_file_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).uniform(-1, 1, (128, 3))
+    path = tmp_path / "a.bin"
+    pts.astype(np.float64).tofile(path)
+    got = load_pc_file(str(path), num_points=128)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, pts, atol=1e-6)
+
+
+def test_load_pc_file_size_check(tmp_path):
+    np.zeros(10).tofile(tmp_path / "bad.bin")
+    with pytest.raises(ValueError):
+        load_pc_file(str(tmp_path / "bad.bin"), num_points=128)
+
+
+def test_rotation_preserves_norms_and_z(rng):
+    x = rng.randn(2, 64, 3).astype(np.float32)
+    r = rotate_point_cloud(x, np.random.default_rng(0))
+    np.testing.assert_allclose(
+        np.linalg.norm(r[..., :2], axis=-1), np.linalg.norm(x[..., :2], axis=-1), atol=1e-5
+    )
+    np.testing.assert_allclose(r[..., 2], x[..., 2], atol=1e-6)  # up-axis fixed
+
+
+def test_jitter_bounded(rng):
+    x = np.zeros((1, 100, 3), np.float32)
+    j = jitter_point_cloud(x, sigma=0.5, clip=0.03, rng=np.random.default_rng(0))
+    assert np.abs(j).max() <= 0.03 + 1e-6
+
+
+def test_tuple_radii_semantics(synthetic_root):
+    df = scan_runs(synthetic_root)
+    tt = construct_query_dict(df, positive_radius=10.0, negative_radius=50.0,
+                              exclude_test_regions=False)
+    coords = df[["northing", "easting"]].to_numpy()
+    for i in list(tt.queries)[:10]:
+        e = tt.queries[i]
+        for p in e["positives"]:
+            assert np.linalg.norm(coords[i] - coords[p]) < 10.0
+        for n in e["negatives"][:20]:
+            assert np.linalg.norm(coords[i] - coords[n]) > 50.0
+
+
+def test_test_region_exclusion():
+    regions = [(100.0, 100.0)]
+    assert in_test_region(110.0, 60.0, regions, width=150.0)
+    assert not in_test_region(300.0, 100.0, regions, width=150.0)
+
+
+def test_query_and_database_sets(synthetic_root):
+    df = scan_runs(synthetic_root)
+    db_sets, q_sets = construct_query_and_database_sets(df, test_positive_radius=25.0)
+    assert len(db_sets) == 3
+    # cross-run ground truth exists and is within 25 m
+    found = 0
+    for qi, qset in enumerate(q_sets):
+        for i, entry in qset.items():
+            for di in range(len(db_sets)):
+                if di == qi or di not in entry:
+                    continue
+                for g in entry[di]:
+                    dbe = db_sets[di][g]
+                    dist = np.hypot(
+                        entry["northing"] - dbe["northing"],
+                        entry["easting"] - dbe["easting"],
+                    )
+                    assert dist < 25.0
+                    found += 1
+    assert found > 0
+
+
+def test_loader_shapes_and_coverage(synthetic_root):
+    df = scan_runs(synthetic_root)
+    tt = construct_query_dict(df, exclude_test_regions=False)
+    cfg = DataConfig(dataset_root=synthetic_root, num_points=128,
+                     num_negatives=4, num_positives=2)
+    loader = TupleLoader(tt, cfg, batch_size=3, seed=0)
+    total = 0
+    for b in loader.epoch(0):
+        assert b["query"].shape == (3, 128, 3)
+        assert b["positives"].shape == (3, 2, 128, 3)
+        assert b["negatives"].shape == (3, 4, 128, 3)
+        assert b["other_neg"].shape == (3, 128, 3)
+        total += 1
+    assert total >= 25  # ~90 tuples / 3 per batch, minus unusable
+
+
+def test_loader_hard_negative_hook(synthetic_root):
+    df = scan_runs(synthetic_root)
+    tt = construct_query_dict(df, exclude_test_regions=False)
+    cfg = DataConfig(dataset_root=synthetic_root, num_points=128,
+                     num_negatives=4, num_positives=2)
+    loader = TupleLoader(tt, cfg, batch_size=2, seed=0, augment=False)
+
+    def hard(idx):
+        return tt.queries[idx]["negatives"][:2]
+
+    loader.set_hard_negatives(hard)
+    b = next(iter(loader.epoch(0)))
+    for ids in b["ids"]:
+        expect = tt.queries[ids["query"]]["negatives"][:2]
+        assert ids["negatives"][:2] == list(expect)

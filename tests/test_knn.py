@@ -1,0 +1,59 @@
+"""Pallas kNN kernel vs jnp oracle (SURVEY.md §4 implication (a))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epcnet_tpu.ops.knn import knn, knn_jnp, knn_pallas
+from epcnet_tpu.ops.pairwise import pairwise_sqdist
+
+
+def test_pairwise_sqdist_matches_numpy(rng):
+    x = rng.randn(2, 50, 3).astype(np.float32)
+    d = np.asarray(pairwise_sqdist(jnp.asarray(x)))
+    ref = ((x[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, ref, atol=1e-5)
+
+
+def test_knn_jnp_self_first(rng):
+    x = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+    idx, dists = knn_jnp(x, 5, return_dists=True)
+    np.testing.assert_array_equal(np.asarray(idx[0, :, 0]), np.arange(64))
+    # expansion formula leaves ~1e-7 cancellation residue on self-distance
+    assert float(dists[..., 0].max()) <= 1e-6
+    # distances sorted ascending
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=-1) >= -1e-6).all()
+
+
+@pytest.mark.parametrize("n,k", [(64, 4), (100, 7), (256, 20), (300, 10)])
+def test_knn_pallas_matches_oracle(rng, n, k):
+    x = jnp.asarray(rng.randn(2, n, 3).astype(np.float32))
+    i_ref, d_ref = knn_jnp(x, k, return_dists=True)
+    i_pal, d_pal = knn_pallas(x, k, return_dists=True)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pal))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pal), atol=1e-4)
+
+
+def test_knn_pallas_nonsquare_tiles(rng):
+    # n not a multiple of the tile: exercises the padding path
+    x = jnp.asarray(rng.randn(1, 130, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(knn_jnp(x, 6)), np.asarray(knn_pallas(x, 6, tile_q=64))
+    )
+
+
+def test_knn_ties_deterministic():
+    # duplicate points -> distance ties; both impls must break ties identically
+    pts = np.zeros((1, 16, 3), np.float32)
+    pts[0, :, 0] = np.repeat(np.arange(8), 2)  # pairs of identical points
+    x = jnp.asarray(pts)
+    np.testing.assert_array_equal(np.asarray(knn_jnp(x, 4)), np.asarray(knn_pallas(x, 4)))
+
+
+def test_knn_dispatch(rng):
+    x = jnp.asarray(rng.randn(1, 40, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(knn(x, 3, impl="jnp")), np.asarray(knn(x, 3, impl="pallas"))
+    )

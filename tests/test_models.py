@@ -1,0 +1,103 @@
+"""Model-level tests: shapes, normalization, determinism, parameter budget,
+BN state updates, pallas/jnp consistency at the model level."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epcnet_tpu.configs import ModelConfig, epcnet_l_config, pointnetvlad_config
+from epcnet_tpu.models import get_model, param_count
+
+
+def _fwd(cfg, x, seed=0):
+    m = get_model(cfg)
+    v = m.init(jax.random.PRNGKey(seed), x, train=False)
+    return m, v, m.apply(v, x, train=False)
+
+
+def test_epcnet_output_contract(rng, tiny_model_cfg):
+    x = jnp.asarray(rng.uniform(-1, 1, (3, 128, 3)).astype(np.float32))
+    _, _, out = _fwd(tiny_model_cfg, x)
+    assert out.shape == (3, tiny_model_cfg.output_dim)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5)
+
+
+def test_epcnet_deterministic(rng, tiny_model_cfg):
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32))
+    m, v, out1 = _fwd(tiny_model_cfg, x)
+    out2 = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_epcnet_batch_independence(rng, tiny_model_cfg):
+    """Descriptor of a submap must not depend on its batch neighbours (eval
+    mode uses running BN stats, so this must hold exactly)."""
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 128, 3)).astype(np.float32))
+    m, v, full = _fwd(tiny_model_cfg, x)
+    solo = m.apply(v, x[1:2], train=False)
+    np.testing.assert_allclose(np.asarray(full[1]), np.asarray(solo[0]), atol=2e-5)
+
+
+def test_bn_stats_update_only_in_train(rng, tiny_model_cfg):
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32))
+    m = get_model(tiny_model_cfg)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    _, mut = m.apply(v, x, train=True, momentum=0.5, mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(v["batch_stats"])
+    after = jax.tree_util.tree_leaves(mut["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+    )
+
+
+def test_parameter_budgets():
+    """Paper efficiency table parity [PAPER]: PointNetVLAD ~19.8M params;
+    EPC-Net single-digit M (G-VLAD removes the 16.8M dense FC)."""
+    x = jnp.zeros((1, 128, 3))
+    pnv = pointnetvlad_config(use_pallas=False)
+    n_pnv = param_count(get_model(pnv).init(jax.random.PRNGKey(0), x, train=False)["params"])
+    assert 18e6 < n_pnv < 22e6, n_pnv
+    epc = ModelConfig(use_pallas=False)
+    n_epc = param_count(get_model(epc).init(jax.random.PRNGKey(0), x, train=False)["params"])
+    assert 1e6 < n_epc < 9.9e6, n_epc
+    epcl = epcnet_l_config(use_pallas=False)
+    n_epcl = param_count(get_model(epcl).init(jax.random.PRNGKey(0), x, train=False)["params"])
+    assert n_epcl < n_epc / 2, (n_epcl, n_epc)
+
+
+def test_pallas_and_jnp_model_paths_agree(rng, tiny_model_cfg):
+    """The use_pallas bit swaps kernels, not semantics (golden-descriptor
+    style check, SURVEY.md §7.2 step 5)."""
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32))
+    cfg_j = tiny_model_cfg.variant(use_pallas=False)
+    cfg_p = tiny_model_cfg.variant(use_pallas=True)
+    m = get_model(cfg_j)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out_j = m.apply(v, x, train=False)
+    out_p = get_model(cfg_p).apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_p), atol=1e-4)
+
+
+def test_pointnetvlad_forward(rng):
+    cfg = pointnetvlad_config(
+        num_points=64, use_pallas=False, vlad_clusters=8, feature_dim=64,
+        pointnet_channels=(16, 16, 16, 32, 64), vlad_group_dim=256,
+    )
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)).astype(np.float32))
+    _, _, out = _fwd(cfg, x)
+    assert out.shape == (2, 256)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5)
+
+
+def test_knn_invariant_to_feature_scale(rng, tiny_model_cfg):
+    """Adjacency is built on xyz only [PAPER §III-A]: translating all points
+    by a constant must leave the kNN graph (and thus descriptors of the
+    translated geometry) consistent."""
+    from epcnet_tpu.ops.knn import knn_jnp
+
+    x = rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32)
+    i1 = np.asarray(knn_jnp(jnp.asarray(x), 8))
+    i2 = np.asarray(knn_jnp(jnp.asarray(x + 5.0), 8))
+    np.testing.assert_array_equal(i1, i2)

@@ -1,0 +1,129 @@
+"""Training-stack tests: schedules, one-step gradient sanity, loss decrease
+over a short synthetic run, mining cache, checkpoint round-trip."""
+
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epcnet_tpu.configs import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+from epcnet_tpu.data import TupleLoader, construct_query_dict
+from epcnet_tpu.data.tuples import scan_runs
+from epcnet_tpu.train import (
+    MiningCache,
+    Trainer,
+    bn_momentum_schedule,
+    build_embed_fn,
+    build_train_step,
+    create_train_state,
+    lr_schedule,
+)
+
+
+def _exp_cfg(synthetic_root, tiny_model_cfg, **train_kw):
+    tkw = dict(
+        batch_num_queries=2, max_epoch=1, learning_rate=1e-3,
+        mining_start_epoch=99, log_every_steps=5, checkpoint_every_steps=10**6,
+    )
+    tkw.update(train_kw)
+    return ExperimentConfig(
+        model=tiny_model_cfg,
+        data=DataConfig(dataset_root=synthetic_root, num_points=128,
+                        num_negatives=4, num_positives=2),
+        train=TrainConfig(**tkw),
+        log_dir=tempfile.mkdtemp(),
+    )
+
+
+def test_lr_schedule_staircase():
+    cfg = TrainConfig(learning_rate=1e-3, lr_decay_steps=100, lr_decay_rate=0.5)
+    fn = lr_schedule(cfg)
+    assert float(fn(0)) == pytest.approx(1e-3)
+    assert float(fn(99)) == pytest.approx(1e-3)
+    assert float(fn(100)) == pytest.approx(5e-4)
+    assert float(fn(10**7)) == pytest.approx(1e-5)  # floor
+
+
+def test_bn_momentum_schedule():
+    cfg = TrainConfig(bn_init_decay=0.5, bn_decay_rate=0.5, bn_decay_steps=100,
+                      bn_decay_clip=0.99)
+    fn = bn_momentum_schedule(cfg)
+    assert float(fn(0)) == pytest.approx(0.5)
+    assert float(fn(100)) == pytest.approx(0.75)
+    assert float(fn(10**6)) == pytest.approx(0.99)
+
+
+def test_single_step_decreases_loss_on_fixed_batch(rng, tiny_model_cfg):
+    """A few steps on one fixed batch must reduce the loss (gradient sanity)."""
+    mcfg = tiny_model_cfg
+    tcfg = TrainConfig(learning_rate=1e-3)
+    state = create_train_state(mcfg, tcfg, num_points=128)
+    step = build_train_step(mcfg, tcfg)
+    batch = {
+        "query": jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32)),
+        "positives": jnp.asarray(rng.uniform(-1, 1, (2, 2, 128, 3)).astype(np.float32)),
+        "negatives": jnp.asarray(rng.uniform(-1, 1, (2, 4, 128, 3)).astype(np.float32)),
+        "other_neg": jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32)),
+    }
+    state, m0 = step(state, batch)
+    for _ in range(10):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 11
+
+
+def test_trainer_loss_decreases(synthetic_root, tiny_model_cfg):
+    cfg = _exp_cfg(synthetic_root, tiny_model_cfg, max_epoch=2)
+    tr = Trainer(cfg, construct_query_dict(
+        scan_runs(synthetic_root), exclude_test_regions=False), checkpoints=False)
+    tr.train()
+    import json
+    recs = [json.loads(l) for l in open(cfg.log_dir + "/train.jsonl")]
+    first = np.mean([r["loss"] for r in recs[:3]])
+    last = np.mean([r["loss"] for r in recs[-3:]])
+    assert last < first
+
+
+def test_mining_cache(synthetic_root, tiny_model_cfg):
+    df = scan_runs(synthetic_root)
+    tt = construct_query_dict(df, exclude_test_regions=False)
+    dcfg = DataConfig(dataset_root=synthetic_root, num_points=128,
+                      num_negatives=4, num_positives=2)
+    tcfg = TrainConfig(hard_neg_per_tuple=3)
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    cache = MiningCache(tt, dcfg, tcfg, embed, batch_size=16)
+    assert cache.hard_negatives(0) is None  # before refresh
+    cache.refresh(state.params, state.batch_stats)
+    assert cache.latents.shape == (len(tt.queries), tiny_model_cfg.output_dim)
+    hard = cache.hard_negatives(0)
+    assert len(hard) == 3
+    pool = set(tt.queries[0]["negatives"])
+    assert all(h in pool for h in hard)
+    # hardest = smallest latent distance among negatives
+    d = ((cache.latents[list(pool)] - cache.latents[0]) ** 2).sum(-1)
+    best = min(d)
+    got = ((cache.latents[hard[0]] - cache.latents[0]) ** 2).sum(-1)
+    assert got == pytest.approx(best, rel=1e-5)
+
+
+def test_checkpoint_roundtrip(synthetic_root, tiny_model_cfg):
+    from epcnet_tpu.train.checkpoint import CheckpointManager
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    d = tempfile.mkdtemp()
+    mgr = CheckpointManager(d, keep=2)
+    mgr.save(state)
+    mgr.wait()
+    fresh = create_train_state(tiny_model_cfg, tcfg, rng=jax.random.PRNGKey(99),
+                               num_points=128)
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 7
+    l1 = jax.tree_util.tree_leaves(state.params)
+    l2 = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
