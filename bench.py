@@ -14,7 +14,6 @@ vs_baseline > 10.
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -45,14 +44,12 @@ def main():
     def embed(v, pts):
         return model.apply(v, pts, train=False)
 
-    embed(variables, x).block_until_ready()  # compile
-    # measure
+    # NOTE: on the axon tunnel platform block_until_ready() does not actually
+    # block, so timing must hard-sync via host transfer (utils/timing.py).
+    from epcnet_tpu.utils.timing import timeit_pipelined
+
     iters = 30 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = embed(variables, x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt = timeit_pipelined(lambda: embed(variables, x), iters=iters)
     sps = batch / dt
 
     print(

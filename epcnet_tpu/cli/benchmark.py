@@ -10,20 +10,14 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
 
 def _timeit(f, iters=20):
-    import jax
+    from epcnet_tpu.utils.timing import timeit
 
-    jax.block_until_ready(f())  # compile/warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f()
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+    return timeit(f, iters=iters)
 
 
 def main(argv=None):

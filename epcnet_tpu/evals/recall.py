@@ -163,13 +163,13 @@ def retrieval_latency_probe(
     ).astype(np.float32)
     db = jnp.asarray(db_desc)
     lat = []
-    # warmup/compile
-    topk_neighbors(jnp.asarray(qs[:1]), db, top_k)[0].block_until_ready()
+    # warmup/compile (host transfer = hard sync; see utils/timing.py)
+    np.asarray(topk_neighbors(jnp.asarray(qs[:1]), db, top_k)[0])
     for i in range(num_queries):
         q = jnp.asarray(qs[i : i + 1])
         t0 = time.perf_counter()
         idx, _ = topk_neighbors(q, db, top_k)
-        idx.block_until_ready()
+        np.asarray(idx)
         lat.append(time.perf_counter() - t0)
     lat = np.sort(np.array(lat))
     return {

@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 
 
+_LANE = 128
+
+
 def mean_adjacency(idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Dense row-normalized adjacency from kNN indices.
 
@@ -30,12 +33,34 @@ def mean_adjacency(idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
 
     Returns:
       A: [..., N, n] with rows summing to 1 (computed fp32, cast to dtype).
+
+    Construction trick: a 4096-wide one-hot costs N·K·n VPU compares, but
+    splitting each index as ``idx = hi·128 + lo`` factors the one-hot into an
+    OUTER PRODUCT of a ceil(n/128)-wide and a 128-wide one-hot —
+    ``A = sum_k oh_hi(k) (x) oh_lo(k)`` — which is a tiny batched matmul the
+    MXU eats: compares drop from N·K·n to N·K·(n/128 + 128), ~20x fewer.
     """
+    k = idx.shape[-1]
+    if n <= 2 * _LANE:
+        return _mean_adjacency_direct(idx, n, dtype)
+    h = -(-n // _LANE)
+    npad = h * _LANE
+    hi = idx // _LANE  # [..., N, K]
+    lo = idx % _LANE
+    oh_hi = (hi[..., None] == jnp.arange(h)).astype(jnp.bfloat16)  # [..., N, K, H]
+    oh_lo = (lo[..., None] == jnp.arange(_LANE)).astype(jnp.bfloat16)  # [..., N, K, L]
+    a = jnp.einsum(
+        "...kh,...kl->...hl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    )  # [..., N, H, L]
+    a = a.reshape(*idx.shape[:-1], npad)[..., :n]
+    return (a / float(k)).astype(dtype)
+
+
+def _mean_adjacency_direct(idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Direct K-compare construction (oracle twin + small-n path)."""
     k = idx.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, idx.shape[:-1] + (n,), idx.ndim - 1)
     acc = jnp.zeros(idx.shape[:-1] + (n,), jnp.float32)
-    # Unrolled over K: K compares of an [N, n] slab each — VPU-friendly and
-    # XLA-fusable; avoids both a [N, K, n] one-hot blowup and a serial scatter.
     for j in range(k):
         acc = acc + (idx[..., j : j + 1] == col).astype(jnp.float32)
     return (acc / float(k)).astype(dtype)
