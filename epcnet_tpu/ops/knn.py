@@ -65,15 +65,13 @@ def knn_jnp(x: jnp.ndarray, k: int, return_dists: bool = False):
 
 
 def _knn_kernel(x_ref, xt_ref, idx_ref, dist_ref, *, n: int, k: int, kpad: int):
-    """Blockwise distances + two-level top-k extraction.
+    """Blockwise distances + iterative top-k extraction, all in VMEM.
 
-    Extraction keeps a per-128-lane-segment minimum cache [TQ, S] plus the
-    lexicographic (value, lane) high-water mark of what each segment has
-    already yielded. Each of the K rounds then touches only NARROW arrays
-    ([TQ, S] and the one selected [TQ, 128] segment slice) instead of
-    re-scanning the full [TQ, N] slab — ~10x fewer VPU element-ops than the
-    naive min+mask loop. Tie-breaking stays exactly jax.lax.top_k's
-    (ascending distance, then ascending index).
+    K rounds of (min -> lowest-index-among-minima -> mask) over the flat
+    [TQ, N] slab. A two-level per-segment-cache variant was tried and was
+    8x SLOWER under Mosaic (3D masked reductions lower poorly); the flat
+    form keeps every op on the natively-tiled [TQ, N] layout. Tie-breaking
+    matches jax.lax.top_k (ascending distance, then ascending index).
     """
     q = x_ref[0].astype(jnp.float32)  # [TQ, CP]
     xt = xt_ref[0].astype(jnp.float32)  # [CP, N]
@@ -87,72 +85,22 @@ def _knn_kernel(x_ref, xt_ref, idx_ref, dist_ref, *, n: int, k: int, kpad: int):
     d = jnp.maximum(q_sq + db_sq - 2.0 * cross, 0.0)
 
     tq = d.shape[0]
-    lanes = _LANE
-    s = n // lanes  # segments per row (n is lane-aligned by the wrapper)
-    d3 = d.reshape(tq, s, lanes)
-
-    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
-    seg_iota3 = jax.lax.broadcasted_iota(jnp.int32, (tq, s, lanes), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, lanes), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (tq, kpad), 1)
-    inf = jnp.inf
-
-    seg_min0 = jnp.min(d3, axis=-1)  # [TQ, S] — the only full-width pass
-    last_val0 = jnp.full((tq, s), -inf, jnp.float32)
-    last_lane0 = jnp.full((tq, s), -1, jnp.int32)
-    idx0 = jnp.zeros((tq, kpad), jnp.int32)
-    dist0 = jnp.full((tq, kpad), inf, jnp.float32)
 
     def body(j, carry):
-        seg_min, last_val, last_lane, idx_acc, dist_acc = carry
-        m = jnp.min(seg_min, axis=-1, keepdims=True)  # [TQ, 1]
-        sel_seg = jnp.min(
-            jnp.where(seg_min <= m, seg_iota, s), axis=-1, keepdims=True
-        )  # [TQ, 1] lowest segment on cross-segment ties
-        onehot_seg = seg_iota == sel_seg  # [TQ, S]
-
-        # Pull the selected segment's lane data + its extraction high-water
-        # mark. Mosaic supports neither 3D gathers nor batched matvecs, so
-        # the [TQ, S, L] slice comes from a masked max over the segment axis
-        # (exact — one True per row). This is the round's only full-width op.
-        # (bool minor-dim broadcast is unsupported in Mosaic; compare 32-bit
-        # iota against the broadcast segment id to build the 3D mask)
-        mask3 = seg_iota3 == sel_seg[..., None]  # [TQ, S, L]
-        seg_d = jnp.max(jnp.where(mask3, d3, -jnp.inf), axis=1)  # [TQ, L]
-        lv = jnp.max(
-            jnp.where(onehot_seg, last_val, -jnp.inf), axis=1, keepdims=True
-        )  # [TQ, 1]
-        ll = jnp.max(
-            jnp.where(onehot_seg, last_lane, -1), axis=1, keepdims=True
-        )  # [TQ, 1]
-
-        # Lane of the current min: first lane holding value m that is
-        # lexicographically past (lv, ll).
-        fresh = (m > lv) | (lane_iota > ll)
-        sel_lane = jnp.min(
-            jnp.where((seg_d == m) & fresh, lane_iota, lanes),
-            axis=-1,
-            keepdims=True,
-        )  # [TQ, 1]
-        col = sel_seg * lanes + sel_lane
-
-        idx_acc = jnp.where(out_cols == j, col, idx_acc)
+        d_cur, idx_acc, dist_acc = carry
+        m = jnp.min(d_cur, axis=1, keepdims=True)  # [TQ, 1]
+        cand = jnp.where(d_cur <= m, col_ids, n)
+        sel = jnp.min(cand, axis=1, keepdims=True)  # lowest-index tie-break
+        idx_acc = jnp.where(out_cols == j, sel, idx_acc)
         dist_acc = jnp.where(out_cols == j, m, dist_acc)
+        d_cur = jnp.where(col_ids == sel, jnp.inf, d_cur)
+        return d_cur, idx_acc, dist_acc
 
-        # Next unextracted minimum of this segment: values strictly past
-        # (m, sel_lane) lexicographically.
-        nxt = jnp.min(
-            jnp.where((seg_d > m) | ((seg_d == m) & (lane_iota > sel_lane)), seg_d, inf),
-            axis=-1,
-            keepdims=True,
-        )
-        seg_min = jnp.where(onehot_seg, nxt, seg_min)
-        last_val = jnp.where(onehot_seg, m, last_val)
-        last_lane = jnp.where(onehot_seg, sel_lane, last_lane)
-        return seg_min, last_val, last_lane, idx_acc, dist_acc
-
-    carry = (seg_min0, last_val0, last_lane0, idx0, dist0)
-    _, _, _, idx_acc, dist_acc = jax.lax.fori_loop(0, k, body, carry)
+    idx0 = jnp.zeros((tq, kpad), jnp.int32)
+    dist0 = jnp.full((tq, kpad), jnp.inf, jnp.float32)
+    _, idx_acc, dist_acc = jax.lax.fori_loop(0, k, body, (d, idx0, dist0))
 
     idx_ref[0] = idx_acc
     dist_ref[0] = dist_acc
@@ -218,10 +166,13 @@ def knn_pallas(
     xb = jnp.pad(xb, ((0, 0), (0, pad_n), (0, 0)), constant_values=1e6)
     xb = jnp.pad(xb, ((0, 0), (0, 0), (0, _COORD_PAD - d_in)))
 
+    # stop_gradient: the kNN graph is non-differentiable structure (as in the
+    # reference), and pallas_call has no autodiff rule to trip over.
+    xb = jax.lax.stop_gradient(xb)
     idx, dist = _knn_pallas_batched(xb, k, tile_q, interpret)
     idx = idx[:, :n, :k].reshape(*lead, n, k)
     if return_dists:
-        return idx, dist[:, :n, :k].reshape(*lead, n, k)
+        return idx, jax.lax.stop_gradient(dist[:, :n, :k].reshape(*lead, n, k))
     return idx
 
 

@@ -89,3 +89,54 @@ def sharded_topk_neighbors(
     q = jax.device_put(queries, NamedSharding(mesh, P()))
     db = jax.device_put(db, NamedSharding(mesh, P(axis)))
     return fn(q, db)
+
+
+def ring_topk_neighbors(
+    queries: jnp.ndarray,
+    database: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "db",
+):
+    """Ring-merge variant of sharded retrieval (SURVEY.md §5.7 "ring-topk").
+
+    Instead of one all-gather of every shard's candidates, each device's
+    candidate list rotates around the ICI ring via ``lax.ppermute``, merging
+    with the local top-k at every hop; after ndev-1 hops every device holds
+    the global top-k. Same result as :func:`sharded_topk_neighbors`; peak
+    per-hop traffic is k (not k*ndev), which matters when Q*k is large —
+    this is ring attention's schedule applied to retrieval.
+    """
+    ndev = mesh.shape[axis]
+    n = database.shape[0]
+    shard = -(-n // ndev) * ndev
+    db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=1e6)
+
+    def local(q, db_shard):
+        my = jax.lax.axis_index(axis)
+        idx, dist = topk_neighbors(q, db_shard, k)
+        gidx = idx + my * db_shard.shape[0]
+        perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+        def hop(_, carry):
+            c_idx, c_dist = carry
+            r_idx = jax.lax.ppermute(c_idx, axis, perm)
+            r_dist = jax.lax.ppermute(c_dist, axis, perm)
+            cat_idx = jnp.concatenate([r_idx, gidx], axis=-1)  # [Q, 2k]
+            cat_dist = jnp.concatenate([r_dist, dist], axis=-1)
+            neg, pos = jax.lax.top_k(-cat_dist, k)
+            return jnp.take_along_axis(cat_idx, pos, axis=-1), -neg
+
+        c_idx, c_dist = jax.lax.fori_loop(0, ndev - 1, hop, (gidx, dist))
+        return c_idx, c_dist
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    q = jax.device_put(queries, NamedSharding(mesh, P()))
+    db = jax.device_put(db, NamedSharding(mesh, P(axis)))
+    return fn(q, db)

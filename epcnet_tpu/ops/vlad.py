@@ -113,6 +113,7 @@ def _vlad_accum_pallas(logits_pad, f, tile_n: int, interpret: bool):
     )(logits_pad, f)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def vlad_aggregate_pallas(
     features: jnp.ndarray,
     logits: jnp.ndarray,
@@ -154,6 +155,25 @@ def vlad_aggregate_pallas(
     # uses asum, which we computed pad-free above.
     out = _finish(s, asum, centroids.astype(jnp.float32), eps)
     return out.reshape(*lead, c * d)
+
+
+def _vlad_pallas_fwd(features, logits, centroids, eps, tile_n, interpret):
+    out = vlad_aggregate_pallas(features, logits, centroids, eps, tile_n, interpret)
+    return out, (features, logits, centroids)
+
+
+def _vlad_pallas_bwd(eps, tile_n, interpret, res, g):
+    # Backward through the ORACLE math (identical function within fp
+    # tolerance): pallas_call has no autodiff rule, and the backward is
+    # matmul-shaped anyway, which XLA handles optimally.
+    features, logits, centroids = res
+    _, vjp = jax.vjp(
+        lambda f, lg, c: vlad_aggregate_jnp(f, lg, c, eps), features, logits, centroids
+    )
+    return vjp(g)
+
+
+vlad_aggregate_pallas.defvjp(_vlad_pallas_fwd, _vlad_pallas_bwd)
 
 
 def vlad_aggregate(

@@ -16,10 +16,18 @@ import numpy as np
 
 
 def device_sync(tree) -> None:
-    """Block until ``tree``'s computation has really finished."""
+    """Block until ``tree``'s computation has really finished.
+
+    Transfers a SINGLE element of the last leaf: the tiny slice can only be
+    produced after the computation completes, so it is a hard sync without
+    paying tunnel bandwidth for the full array (a [B,N,128] output costs
+    ~300 ms of pure transfer — that is NOT compute time)."""
     leaves = jax.tree_util.tree_leaves(tree)
     if leaves:
-        np.asarray(leaves[-1])  # host transfer == hard sync
+        leaf = leaves[-1]
+        for _ in range(getattr(leaf, "ndim", 0)):
+            leaf = leaf[0]
+        np.asarray(leaf)  # 1-element host transfer == hard sync
 
 
 def timeit(fn, iters: int = 20, warmup: int = 2) -> float:

@@ -78,3 +78,15 @@ def test_sharded_retrieval_ragged_db(rng, mesh8):
     i1, d1 = topk_neighbors(q, db, 9)
     i2, d2 = sharded_topk_neighbors(q, db, 9, mesh8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ring_topk_matches_single(rng, mesh8):
+    from epcnet_tpu.ops.retrieval import ring_topk_neighbors, topk_neighbors
+    import jax.numpy as jnp
+
+    q = jnp.asarray(rng.randn(6, 32).astype(np.float32))
+    db = jnp.asarray(rng.randn(173, 32).astype(np.float32))
+    i1, d1 = topk_neighbors(q, db, 8)
+    i2, d2 = ring_topk_neighbors(q, db, 8, mesh8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
