@@ -71,24 +71,52 @@ def _read_run_csv(csv_path: str) -> pd.DataFrame:
 def scan_runs(
     dataset_root: str,
     runs_subdir: str = "oxford",
-    pointcloud_dir: str = "pointcloud_20m_10overlap",
-    csv_name: str = "pointcloud_locations_20m_10overlap.csv",
+    pointcloud_dir: str | None = None,
+    csv_name: str | None = None,
 ) -> pd.DataFrame:
-    """All submaps of all runs: columns file, northing, easting, run."""
+    """All submaps of all runs: columns file, northing, easting, run.
+
+    When ``pointcloud_dir``/``csv_name`` are None they are auto-detected per
+    run: the Oxford region uses pointcloud_20m_10overlap /
+    pointcloud_locations_20m_10overlap.csv while the in-house
+    university/residential/business regions use pointcloud_25m_* names
+    [LINEAGE: benchmark_datasets layout], so detection keeps one code path
+    for all four regions.
+    """
     base = os.path.join(dataset_root, runs_subdir)
     frames = []
     for run in sorted(os.listdir(base)):
-        csv_path = os.path.join(base, run, csv_name)
+        run_dir = os.path.join(base, run)
+        if not os.path.isdir(run_dir):
+            continue
+        csv = csv_name
+        if csv is None:
+            cands = sorted(
+                f for f in os.listdir(run_dir)
+                if f.startswith("pointcloud_") and f.endswith(".csv")
+            )
+            csv = cands[0] if cands else None
+        pc_dir = pointcloud_dir
+        if pc_dir is None:
+            cands = sorted(
+                d for d in os.listdir(run_dir)
+                if d.startswith("pointcloud_")
+                and os.path.isdir(os.path.join(run_dir, d))
+            )
+            pc_dir = cands[0] if cands else None
+        if csv is None or pc_dir is None:
+            continue
+        csv_path = os.path.join(run_dir, csv)
         if not os.path.isfile(csv_path):
             continue
         df = _read_run_csv(csv_path)
         df["file"] = df["timestamp"].map(
-            lambda t: os.path.join(runs_subdir, run, pointcloud_dir, f"{t}.bin")
+            lambda t: os.path.join(runs_subdir, run, pc_dir, f"{t}.bin")
         )
         df["run"] = run
         frames.append(df[["file", "northing", "easting", "run"]])
     if not frames:
-        raise FileNotFoundError(f"no runs with {csv_name} under {base}")
+        raise FileNotFoundError(f"no runs with a pointcloud_*.csv under {base}")
     return pd.concat(frames, ignore_index=True)
 
 

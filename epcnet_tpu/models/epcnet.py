@@ -22,8 +22,7 @@ import jax.numpy as jnp
 from epcnet_tpu.configs import ModelConfig
 from epcnet_tpu.models.layers import ProxyConv, SharedMLP
 from epcnet_tpu.models.vlad_head import GVLADHead
-from epcnet_tpu.ops.adjacency import mean_adjacency
-from epcnet_tpu.ops.knn import knn
+from epcnet_tpu.ops.knn import knn_adjacency
 
 
 class EPCNet(nn.Module):
@@ -39,11 +38,11 @@ class EPCNet(nn.Module):
 
         # Spatial adjacency: built once on xyz, shared by all ProxyConv
         # layers [PAPER §III-A]. Indices are integers — no gradient flows.
+        # On TPU the fused kernel emits idx AND the dense adjacency in one
+        # pass (ops/knn.py knn_with_adjacency_pallas).
         impl = "auto" if cfg.use_pallas else "jnp"
-        idx = knn(x, cfg.knn_k, impl=impl)
-        adj = mean_adjacency(idx, n, dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
-
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        _, adj = knn_adjacency(x, cfg.knn_k, dtype=dtype, impl=impl)
         f = x.astype(dtype)
         scales = []
         for i, ch in enumerate(cfg.proxyconv_channels):

@@ -6,7 +6,7 @@ tests; `impl="auto"` picks Pallas on TPU and jnp elsewhere.
 """
 
 from epcnet_tpu.ops.pairwise import pairwise_sqdist
-from epcnet_tpu.ops.knn import knn, knn_jnp, knn_pallas
+from epcnet_tpu.ops.knn import knn, knn_jnp, knn_pallas, knn_adjacency, knn_with_adjacency_pallas
 from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean
 from epcnet_tpu.ops.vlad import vlad_aggregate, vlad_aggregate_jnp, vlad_aggregate_pallas
 from epcnet_tpu.ops.sampling import (
@@ -17,13 +17,15 @@ from epcnet_tpu.ops.sampling import (
     three_nn,
     three_interpolate,
 )
-from epcnet_tpu.ops.retrieval import l2_distance_matrix, topk_neighbors
+from epcnet_tpu.ops.retrieval import l2_distance_matrix, topk_neighbors, sharded_topk_neighbors, ring_topk_neighbors
 
 __all__ = [
     "pairwise_sqdist",
     "knn",
     "knn_jnp",
     "knn_pallas",
+    "knn_adjacency",
+    "knn_with_adjacency_pallas",
     "mean_adjacency",
     "neighbor_mean",
     "vlad_aggregate",
@@ -37,4 +39,6 @@ __all__ = [
     "three_interpolate",
     "l2_distance_matrix",
     "topk_neighbors",
+    "sharded_topk_neighbors",
+    "ring_topk_neighbors",
 ]

@@ -64,14 +64,22 @@ def knn_jnp(x: jnp.ndarray, k: int, return_dists: bool = False):
 # ----------------------------------------------------------------------------
 
 
-def _knn_kernel(x_ref, xt_ref, idx_ref, dist_ref, *, n: int, k: int, kpad: int):
+def _knn_kernel(
+    x_ref, xt_ref, idx_ref, dist_ref, adj_ref=None, *, n: int, k: int, kpad: int
+):
     """Blockwise distances + iterative top-k extraction, all in VMEM.
 
-    K rounds of (min -> lowest-index-among-minima -> mask) over the flat
-    [TQ, N] slab. A two-level per-segment-cache variant was tried and was
-    8x SLOWER under Mosaic (3D masked reductions lower poorly); the flat
-    form keeps every op on the natively-tiled [TQ, N] layout. Tie-breaking
-    matches jax.lax.top_k (ascending distance, then ascending index).
+    K UNROLLED rounds of (min -> lowest-index-among-minima -> mask) over the
+    flat [TQ, N] slab. Unrolling beats lax.fori_loop by ~1.4x (Mosaic
+    pipelines across rounds); a two-level per-segment-cache variant was 8x
+    SLOWER (3D masked reductions lower poorly), and lax.top_k has no Mosaic
+    lowering at all. Tie-breaking matches jax.lax.top_k (ascending distance,
+    then ascending index).
+
+    When ``adj_ref`` is given, the kernel also emits the row of the
+    1/K-normalized adjacency matrix by accumulating the per-round
+    ``col == sel`` mask it already computes for distance masking — the dense
+    neighbour-mean operator (ops/adjacency.py) then costs nothing extra.
     """
     q = x_ref[0].astype(jnp.float32)  # [TQ, CP]
     xt = xt_ref[0].astype(jnp.float32)  # [CP, N]
@@ -86,33 +94,58 @@ def _knn_kernel(x_ref, xt_ref, idx_ref, dist_ref, *, n: int, k: int, kpad: int):
 
     tq = d.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, (tq, kpad), 1)
 
-    def body(j, carry):
-        d_cur, idx_acc, dist_acc = carry
-        m = jnp.min(d_cur, axis=1, keepdims=True)  # [TQ, 1]
-        cand = jnp.where(d_cur <= m, col_ids, n)
+    idx_cols = []
+    dist_cols = []
+    # bf16 accumulator: halves the VMEM footprint (16 MB scoped limit);
+    # values are exact in bf16 (0 or 1/K) up to bf16 rounding of 1/K.
+    adj_acc = jnp.zeros((tq, n), jnp.bfloat16) if adj_ref is not None else None
+    for _ in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)  # [TQ, 1]
+        cand = jnp.where(d <= m, col_ids, n)
         sel = jnp.min(cand, axis=1, keepdims=True)  # lowest-index tie-break
-        idx_acc = jnp.where(out_cols == j, sel, idx_acc)
-        dist_acc = jnp.where(out_cols == j, m, dist_acc)
-        d_cur = jnp.where(col_ids == sel, jnp.inf, d_cur)
-        return d_cur, idx_acc, dist_acc
+        idx_cols.append(sel)
+        dist_cols.append(m)
+        hit = col_ids == sel
+        if adj_acc is not None:
+            adj_acc = jnp.where(hit, jnp.bfloat16(1.0 / k), adj_acc)
+        d = jnp.where(hit, jnp.inf, d)
 
-    idx0 = jnp.zeros((tq, kpad), jnp.int32)
-    dist0 = jnp.full((tq, kpad), jnp.inf, jnp.float32)
-    _, idx_acc, dist_acc = jax.lax.fori_loop(0, k, body, (d, idx0, dist0))
+    pad_i = jnp.zeros((tq, kpad - k), jnp.int32)
+    pad_d = jnp.full((tq, kpad - k), jnp.inf, jnp.float32)
+    idx_ref[0] = jnp.concatenate(idx_cols + [pad_i], axis=1)
+    dist_ref[0] = jnp.concatenate(dist_cols + [pad_d], axis=1)
+    if adj_ref is not None:
+        adj_ref[0] = adj_acc.astype(adj_ref.dtype)
 
-    idx_ref[0] = idx_acc
-    dist_ref[0] = dist_acc
 
-
-@functools.partial(jax.jit, static_argnames=("k", "tile_q", "interpret"))
-def _knn_pallas_batched(xp, k: int, tile_q: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_q", "interpret", "with_adjacency")
+)
+def _knn_pallas_batched(
+    xp, k: int, tile_q: int, interpret: bool, with_adjacency: bool = False
+):
     b, npad, cp = xp.shape
     kpad = max(_LANE, -(-k // _LANE) * _LANE)
     xt = jnp.swapaxes(xp, -1, -2)  # [B, CP, Npad]
     grid = (b, npad // tile_q)
-    idx, dist = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, npad, kpad), jnp.int32),
+        jax.ShapeDtypeStruct((b, npad, kpad), jnp.float32),
+    ]
+    if with_adjacency:
+        out_specs.append(
+            pl.BlockSpec((1, tile_q, npad), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, npad, npad), jnp.bfloat16))
+    outs = pl.pallas_call(
         functools.partial(_knn_kernel, n=npad, k=k, kpad=kpad),
         grid=grid,
         in_specs=[
@@ -121,19 +154,13 @@ def _knn_pallas_batched(xp, k: int, tile_q: int, interpret: bool):
             pl.BlockSpec((1, cp, npad), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, npad, kpad), jnp.int32),
-            jax.ShapeDtypeStruct((b, npad, kpad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xp, xt)
-    return idx, dist
+    if with_adjacency:
+        return outs
+    return outs[0], outs[1]
 
 
 def knn_pallas(
@@ -176,6 +203,44 @@ def knn_pallas(
     return idx
 
 
+def knn_with_adjacency_pallas(
+    x: jnp.ndarray,
+    k: int,
+    tile_q: int = 128,  # narrower than plain kNN: the adj slab shares VMEM
+    interpret: bool | None = None,
+):
+    """Fused kNN + dense 1/K-normalized adjacency in one kernel pass.
+
+    Returns (idx [..., N, k] int32, A [..., N, N] bf16). The adjacency comes
+    from masks the extraction loop computes anyway, so this replaces the
+    separate ops/adjacency.py build (a full [B, N, N] compare cascade) with
+    ~zero extra kernel work. Both outputs are non-differentiable structure
+    (stop_gradient), exactly as in the reference where the kNN graph is
+    integer indices.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    *lead, n, d_in = x.shape
+    if d_in > _COORD_PAD:
+        raise ValueError(f"coordinate dim must be <= {_COORD_PAD}, got {d_in}")
+    b = 1
+    for s in lead:
+        b *= s
+    xb = x.reshape(b, n, d_in).astype(jnp.float32)
+    tile_q = min(tile_q, max(8, n))
+    import math
+
+    unit = tile_q * _LANE // math.gcd(tile_q, _LANE)
+    npad = -(-n // unit) * unit
+    xb = jnp.pad(xb, ((0, 0), (0, npad - n), (0, 0)), constant_values=1e6)
+    xb = jnp.pad(xb, ((0, 0), (0, 0), (0, _COORD_PAD - d_in)))
+    xb = jax.lax.stop_gradient(xb)
+    idx, _, adj = _knn_pallas_batched(xb, k, tile_q, interpret, with_adjacency=True)
+    idx = idx[:, :n, :k].reshape(*lead, n, k)
+    adj = adj[:, :n, :n].reshape(*lead, n, n)
+    return idx, jax.lax.stop_gradient(adj)
+
+
 def knn(x: jnp.ndarray, k: int, return_dists: bool = False, impl: str = "auto"):
     """Dispatching kNN front-end. impl: auto | jnp | pallas."""
     if impl == "auto":
@@ -183,3 +248,17 @@ def knn(x: jnp.ndarray, k: int, return_dists: bool = False, impl: str = "auto"):
     if impl == "pallas":
         return knn_pallas(x, k, return_dists=return_dists)
     return knn_jnp(x, k, return_dists=return_dists)
+
+
+def knn_adjacency(x: jnp.ndarray, k: int, dtype=jnp.bfloat16, impl: str = "auto"):
+    """(idx, dense mean-adjacency) with the best backend: the fused Pallas
+    kernel on TPU, oracle kNN + ops/adjacency.py build elsewhere."""
+    from epcnet_tpu.ops.adjacency import mean_adjacency
+
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "jnp"
+    if impl == "pallas":
+        idx, adj = knn_with_adjacency_pallas(x, k)
+        return idx, adj.astype(dtype)
+    idx = knn_jnp(x, k)
+    return idx, mean_adjacency(idx, x.shape[-2], dtype=dtype)
