@@ -69,12 +69,13 @@ def _knn_kernel(
 ):
     """Blockwise distances + iterative top-k extraction, all in VMEM.
 
-    K UNROLLED rounds of (min -> lowest-index-among-minima -> mask) over the
-    flat [TQ, N] slab. Unrolling beats lax.fori_loop by ~1.4x (Mosaic
-    pipelines across rounds); a two-level per-segment-cache variant was 8x
-    SLOWER (3D masked reductions lower poorly), and lax.top_k has no Mosaic
-    lowering at all. Tie-breaking matches jax.lax.top_k (ascending distance,
-    then ascending index).
+    K UNROLLED rounds of (min -> lowest-true-column-among-minima -> mask)
+    over HALF-width pair-compacted arrays (see below). Design notes from
+    measured Mosaic behaviour: unrolling beats lax.fori_loop by ~1.4x;
+    pair-compaction roughly halves per-round VPU work; a two-level
+    per-segment-cache variant was 8x SLOWER (3D masked reductions lower
+    poorly); lax.top_k has no Mosaic lowering at all. Tie-breaking matches
+    jax.lax.top_k (ascending distance, then ascending index).
 
     When ``adj_ref`` is given, the kernel also emits the row of the
     1/K-normalized adjacency matrix by accumulating the per-round
@@ -93,30 +94,49 @@ def _knn_kernel(
     d = jnp.maximum(q_sq + db_sq - 2.0 * cross, 0.0)
 
     tq = d.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+    half = n // 2
+    inf = jnp.inf
+
+    # Pair-compaction: column j pairs with column j+half. Rounds then run on
+    # HALF-width arrays: lo holds each pair's unextracted minimum, hi its
+    # partner, bit which half lo came from. Tie-breaking stays EXACT because
+    # the candidate key is the TRUE column (pcol + bit*half) — the min over
+    # tied minima is the lowest original column, same as jax.lax.top_k.
+    a = d[:, :half]
+    b = d[:, half:]
+    bit = (b < a).astype(jnp.int32)  # tie -> 0 -> first half (lower col) first
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (tq, half), 1)
 
     idx_cols = []
     dist_cols = []
-    # bf16 accumulator: halves the VMEM footprint (16 MB scoped limit);
-    # values are exact in bf16 (0 or 1/K) up to bf16 rounding of 1/K.
-    adj_acc = jnp.zeros((tq, n), jnp.bfloat16) if adj_ref is not None else None
+    # f32 accumulators: the i1 select mask is (8,128)-tiled for f32, and
+    # Mosaic cannot relayout it for bf16; cast only at the final store.
+    if adj_ref is not None:
+        adj_a = jnp.zeros((tq, half), jnp.float32)
+        adj_b = jnp.zeros((tq, half), jnp.float32)
     for _ in range(k):
-        m = jnp.min(d, axis=1, keepdims=True)  # [TQ, 1]
-        cand = jnp.where(d <= m, col_ids, n)
-        sel = jnp.min(cand, axis=1, keepdims=True)  # lowest-index tie-break
-        idx_cols.append(sel)
+        m = jnp.min(lo, axis=1, keepdims=True)  # [TQ, 1]
+        cand = jnp.where(lo <= m, pcol + bit * half, n)
+        col = jnp.min(cand, axis=1, keepdims=True)  # true column, exact ties
+        idx_cols.append(col)
         dist_cols.append(m)
-        hit = col_ids == sel
-        if adj_acc is not None:
-            adj_acc = jnp.where(hit, jnp.bfloat16(1.0 / k), adj_acc)
-        d = jnp.where(hit, jnp.inf, d)
+        pslot = jnp.where(col >= half, col - half, col)  # [TQ, 1]
+        onehot = pcol == pslot
+        if adj_ref is not None:
+            adj_a = jnp.where(onehot & (col < half), 1.0 / k, adj_a)
+            adj_b = jnp.where(onehot & (col >= half), 1.0 / k, adj_b)
+        lo = jnp.where(onehot, hi, lo)  # partner becomes the pair's minimum
+        bit = jnp.where(onehot, 1 - bit, bit)  # partner sits in the other half
+        hi = jnp.where(onehot, inf, hi)  # pair exhausted after second take
 
     pad_i = jnp.zeros((tq, kpad - k), jnp.int32)
-    pad_d = jnp.full((tq, kpad - k), jnp.inf, jnp.float32)
+    pad_d = jnp.full((tq, kpad - k), inf, jnp.float32)
     idx_ref[0] = jnp.concatenate(idx_cols + [pad_i], axis=1)
     dist_ref[0] = jnp.concatenate(dist_cols + [pad_d], axis=1)
     if adj_ref is not None:
-        adj_ref[0] = adj_acc.astype(adj_ref.dtype)
+        adj_ref[0] = jnp.concatenate([adj_a, adj_b], axis=1).astype(adj_ref.dtype)
 
 
 @functools.partial(

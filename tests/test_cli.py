@@ -1,0 +1,92 @@
+"""End-to-end CLI integration: generate_tuples -> train -> evaluate on a tiny
+synthetic dataset (the reference's only 'integration test' was running
+train.py/evaluate.py by hand — here it is automated, SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_ds"))
+    from epcnet_tpu.data.synthetic import generate_synthetic_dataset
+
+    generate_synthetic_dataset(root, num_runs=2, submaps_per_run=20, num_points=128)
+    return root
+
+
+def test_generate_tuples_cli(cli_root, tmp_path):
+    from epcnet_tpu.cli.generate_tuples import main
+
+    out = str(tmp_path)
+    main(["--dataset_root", cli_root, "--mode", "baseline", "--output_dir", out,
+          "--num_points", "128"])
+    main(["--dataset_root", cli_root, "--mode", "test", "--output_dir", out,
+          "--num_points", "128"])
+    from epcnet_tpu.data.tuples import load_pickle
+
+    tq = load_pickle(os.path.join(out, "training_queries_baseline.pickle"))
+    assert len(tq) > 0 and "positives" in next(iter(tq.values()))
+    db = load_pickle(os.path.join(out, "oxford_evaluation_database.pickle"))
+    assert len(db) == 2
+
+
+def test_train_then_evaluate_cli(cli_root, tmp_path):
+    from epcnet_tpu.cli.evaluate import main as eval_main
+    from epcnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "log")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.log_every_steps=5", "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir, "--synthetic"]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+    assert os.path.isfile(os.path.join(log_dir, "config.json"))
+    assert os.path.isfile(os.path.join(log_dir, "train.jsonl"))
+    recs = [json.loads(l) for l in open(os.path.join(log_dir, "train.jsonl"))]
+    assert all(np.isfinite(r["loss"]) for r in recs)
+
+    eval_main(["--dataset_root", cli_root, "--log_dir", log_dir])
+    results = open(os.path.join(log_dir, "results.txt")).read()
+    assert "Average Top 1% Recall" in results
+
+
+def test_train_restore_cli(cli_root, tmp_path):
+    """--restore resumes from the saved checkpoint (step advances)."""
+    from epcnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "log2")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir, "--synthetic"]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+    import orbax.checkpoint as ocp
+
+    steps1 = max(
+        int(d) for d in os.listdir(os.path.join(log_dir, "ckpt")) if d.isdigit()
+    )
+    train_main(args + ["--restore"])
+    steps2 = max(
+        int(d) for d in os.listdir(os.path.join(log_dir, "ckpt")) if d.isdigit()
+    )
+    assert steps2 > steps1
