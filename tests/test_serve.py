@@ -1,0 +1,66 @@
+"""PlaceIndex serving tests: add/query round trip, growth without shape
+explosion, persistence."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from epcnet_tpu.configs import TrainConfig
+from epcnet_tpu.serve import PlaceIndex
+from epcnet_tpu.train.state import create_train_state
+from epcnet_tpu.train.step import build_embed_fn
+
+
+@pytest.fixture(scope="module")
+def index(tiny_model_cfg):
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    return PlaceIndex(
+        embed, state.params, state.batch_stats,
+        descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4, block_rows=64,
+    )
+
+
+def test_add_and_query_self(index, rng):
+    pts = rng.uniform(-1, 1, (10, 128, 3)).astype(np.float32)
+    index.add(pts, metadata=[f"submap_{i}" for i in range(10)])
+    assert len(index) == 10
+    ids, dists = index.query(pts[:3], k=1)
+    # each submap's nearest neighbour is itself
+    np.testing.assert_array_equal(ids[:, 0], [0, 1, 2])
+    assert dists.max() < 1e-4
+    assert index.metadata(ids[:, 0]) == ["submap_0", "submap_1", "submap_2"]
+
+
+def test_incremental_growth(index, rng):
+    before = len(index)
+    more = rng.uniform(-1, 1, (7, 128, 3)).astype(np.float32)
+    index.add(more)
+    assert len(index) == before + 7
+    ids, _ = index.query(more[:2], k=1)
+    np.testing.assert_array_equal(ids[:, 0], [before, before + 1])
+
+
+def test_query_empty_raises(tiny_model_cfg):
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    empty = PlaceIndex(embed, state.params, state.batch_stats,
+                       descriptor_dim=tiny_model_cfg.output_dim)
+    with pytest.raises(ValueError, match="empty"):
+        empty.query_descriptors(np.zeros((1, tiny_model_cfg.output_dim), np.float32))
+
+
+def test_save_load(index, tmp_path):
+    p = str(tmp_path / "index.npz")
+    index.save(p)
+    fresh = PlaceIndex(index._embed, index._params, index._stats,
+                       descriptor_dim=index.dim)
+    fresh.load_db(p)
+    assert len(fresh) == len(index)
+    q = index._db[:2]
+    i1, _ = index.query_descriptors(q, k=3)
+    i2, _ = fresh.query_descriptors(q, k=3)
+    np.testing.assert_array_equal(i1, i2)
