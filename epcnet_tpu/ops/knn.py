@@ -69,12 +69,12 @@ def _knn_kernel(
 ):
     """Blockwise distances + iterative top-k extraction, all in VMEM.
 
-    K UNROLLED rounds of (min -> lowest-true-column-among-minima -> mask)
-    over HALF-width pair-compacted arrays (see below). Design notes from
-    measured Mosaic behaviour: unrolling beats lax.fori_loop by ~1.4x;
-    pair-compaction roughly halves per-round VPU work; a two-level
-    per-segment-cache variant was 8x SLOWER (3D masked reductions lower
-    poorly); lax.top_k has no Mosaic lowering at all. Tie-breaking matches
+    K UNROLLED rounds of (min -> lowest-index-among-minima -> mask) over
+    the flat [TQ, N] slab. Design notes from measured Mosaic behaviour:
+    unrolling beats lax.fori_loop by ~1.4x; a two-level per-segment-cache
+    variant was 8x SLOWER (3D masked reductions lower poorly); a pair-
+    compacted half-width variant gained nothing (the loop is latency-bound);
+    lax.top_k has no Mosaic lowering at all. Tie-breaking matches
     jax.lax.top_k (ascending distance, then ascending index).
 
     When ``adj_ref`` is given, the kernel also emits the row of the
@@ -94,49 +94,32 @@ def _knn_kernel(
     d = jnp.maximum(q_sq + db_sq - 2.0 * cross, 0.0)
 
     tq = d.shape[0]
-    half = n // 2
-    inf = jnp.inf
-
-    # Pair-compaction: column j pairs with column j+half. Rounds then run on
-    # HALF-width arrays: lo holds each pair's unextracted minimum, hi its
-    # partner, bit which half lo came from. Tie-breaking stays EXACT because
-    # the candidate key is the TRUE column (pcol + bit*half) — the min over
-    # tied minima is the lowest original column, same as jax.lax.top_k.
-    a = d[:, :half]
-    b = d[:, half:]
-    bit = (b < a).astype(jnp.int32)  # tie -> 0 -> first half (lower col) first
-    lo = jnp.minimum(a, b)
-    hi = jnp.maximum(a, b)
-    pcol = jax.lax.broadcasted_iota(jnp.int32, (tq, half), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
 
     idx_cols = []
     dist_cols = []
-    # f32 accumulators: the i1 select mask is (8,128)-tiled for f32, and
+    # f32 accumulator: the i1 select mask is (8,128)-tiled for f32, and
     # Mosaic cannot relayout it for bf16; cast only at the final store.
-    if adj_ref is not None:
-        adj_a = jnp.zeros((tq, half), jnp.float32)
-        adj_b = jnp.zeros((tq, half), jnp.float32)
+    # (A pair-compacted half-width variant was measured SLOWER — the loop is
+    # latency-bound, not throughput-bound: k=1 costs 40 ms vs k=20's 50 ms.)
+    adj_acc = jnp.zeros((tq, n), jnp.float32) if adj_ref is not None else None
     for _ in range(k):
-        m = jnp.min(lo, axis=1, keepdims=True)  # [TQ, 1]
-        cand = jnp.where(lo <= m, pcol + bit * half, n)
-        col = jnp.min(cand, axis=1, keepdims=True)  # true column, exact ties
-        idx_cols.append(col)
+        m = jnp.min(d, axis=1, keepdims=True)  # [TQ, 1]
+        cand = jnp.where(d <= m, col_ids, n)
+        sel = jnp.min(cand, axis=1, keepdims=True)  # lowest-index tie-break
+        idx_cols.append(sel)
         dist_cols.append(m)
-        pslot = jnp.where(col >= half, col - half, col)  # [TQ, 1]
-        onehot = pcol == pslot
-        if adj_ref is not None:
-            adj_a = jnp.where(onehot & (col < half), 1.0 / k, adj_a)
-            adj_b = jnp.where(onehot & (col >= half), 1.0 / k, adj_b)
-        lo = jnp.where(onehot, hi, lo)  # partner becomes the pair's minimum
-        bit = jnp.where(onehot, 1 - bit, bit)  # partner sits in the other half
-        hi = jnp.where(onehot, inf, hi)  # pair exhausted after second take
+        hit = col_ids == sel
+        if adj_acc is not None:
+            adj_acc = jnp.where(hit, 1.0 / k, adj_acc)
+        d = jnp.where(hit, jnp.inf, d)
 
     pad_i = jnp.zeros((tq, kpad - k), jnp.int32)
-    pad_d = jnp.full((tq, kpad - k), inf, jnp.float32)
+    pad_d = jnp.full((tq, kpad - k), jnp.inf, jnp.float32)
     idx_ref[0] = jnp.concatenate(idx_cols + [pad_i], axis=1)
     dist_ref[0] = jnp.concatenate(dist_cols + [pad_d], axis=1)
     if adj_ref is not None:
-        adj_ref[0] = jnp.concatenate([adj_a, adj_b], axis=1).astype(adj_ref.dtype)
+        adj_ref[0] = adj_acc.astype(adj_ref.dtype)
 
 
 @functools.partial(

@@ -97,6 +97,7 @@ class Trainer:
                     )
                     self.mining.attach(self.loader)
             n_steps = 0
+            m = {"loss": float("nan")}  # stays if the epoch yields no batches
             t_epoch = time.time()
             for batch in self.loader.epoch(epoch):
                 with profile_region("train_step"):
