@@ -75,7 +75,9 @@ def create_train_state(
     rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
     n = num_points or model_cfg.num_points
     dummy = jnp.zeros((1, n, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    # jit the init: eager init dispatches every elementary op as its own
+    # (remote) compile on the axon platform — one jitted program instead.
+    variables = jax.jit(lambda r, d: model.init(r, d, train=False))(rng, dummy)
     tx = make_optimizer(train_cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
