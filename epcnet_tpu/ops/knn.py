@@ -96,30 +96,28 @@ def _knn_kernel(
     tq = d.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
 
+    # Mutating unrolled rounds (measured fastest: a read-only floor-based
+    # variant was ~20% slower — its 3-compare freshness chain outweighs the
+    # saved slab writes; pair-compaction and two-level caches lost too, see
+    # docs/KERNELS.md). Extracted entries are masked to +inf, which doubles
+    # as the adjacency encoding: real distances are finite, so the adjacency
+    # row is ONE final `d == inf` compare instead of K accumulating selects.
     idx_cols = []
     dist_cols = []
-    # f32 accumulator: the i1 select mask is (8,128)-tiled for f32, and
-    # Mosaic cannot relayout it for bf16; cast only at the final store.
-    # (A pair-compacted half-width variant was measured SLOWER — the loop is
-    # latency-bound, not throughput-bound: k=1 costs 40 ms vs k=20's 50 ms.)
-    adj_acc = jnp.zeros((tq, n), jnp.float32) if adj_ref is not None else None
     for _ in range(k):
         m = jnp.min(d, axis=1, keepdims=True)  # [TQ, 1]
         cand = jnp.where(d <= m, col_ids, n)
         sel = jnp.min(cand, axis=1, keepdims=True)  # lowest-index tie-break
         idx_cols.append(sel)
         dist_cols.append(m)
-        hit = col_ids == sel
-        if adj_acc is not None:
-            adj_acc = jnp.where(hit, 1.0 / k, adj_acc)
-        d = jnp.where(hit, jnp.inf, d)
+        d = jnp.where(col_ids == sel, jnp.inf, d)
 
     pad_i = jnp.zeros((tq, kpad - k), jnp.int32)
     pad_d = jnp.full((tq, kpad - k), jnp.inf, jnp.float32)
     idx_ref[0] = jnp.concatenate(idx_cols + [pad_i], axis=1)
     dist_ref[0] = jnp.concatenate(dist_cols + [pad_d], axis=1)
     if adj_ref is not None:
-        adj_ref[0] = adj_acc.astype(adj_ref.dtype)
+        adj_ref[0] = jnp.where(d == jnp.inf, 1.0 / k, 0.0).astype(adj_ref.dtype)
 
 
 @functools.partial(
