@@ -90,3 +90,40 @@ def test_train_restore_cli(cli_root, tmp_path):
         int(d) for d in os.listdir(os.path.join(log_dir, "ckpt")) if d.isdigit()
     )
     assert steps2 > steps1
+
+
+def test_distill_cli(cli_root, tmp_path):
+    """Teacher train -> distill student end-to-end."""
+    from epcnet_tpu.cli.distill import main as distill_main
+    from epcnet_tpu.cli.train import main as train_main
+
+    teacher_dir = str(tmp_path / "teacher")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", teacher_dir, "--synthetic"]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+
+    student_dir = str(tmp_path / "student")
+    dargs = ["--dataset_root", cli_root, "--teacher_log_dir", teacher_dir,
+             "--log_dir", student_dir, "--synthetic",
+             "--set", "model.proxyconv_channels=4,4",
+             "--set", "model.lift_channels=8,16",
+             "--set", "model.feature_dim=16",
+             "--set", "model.vlad_clusters=4",
+             "--set", "model.vlad_groups=2",
+             "--set", "model.vlad_group_dim=8"]
+    distill_main(dargs)
+    import json, os
+
+    recs = [json.loads(l) for l in open(os.path.join(student_dir, "distill.jsonl"))]
+    assert len(recs) > 0
+    assert all("mimic_loss" in r for r in recs)
