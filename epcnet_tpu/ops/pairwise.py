@@ -31,6 +31,17 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray
         b = a
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    if a.shape[-1] <= 8:
+        # Small coordinate dims (xyz): accumulate (a_c - b_c)^2 per
+        # coordinate. EXACT fp32 (no catastrophic cancellation: the norm
+        # expansion leaves ~1e-6 residue on self-distances), never builds an
+        # [N, M, D] tensor, and bit-matches the Pallas kNN kernel which uses
+        # the same formula in the same coordinate order.
+        d = jnp.zeros(a.shape[:-1] + (b.shape[-2],), jnp.float32)
+        for c in range(a.shape[-1]):
+            diff = a[..., :, c, None] - b[..., None, :, c]
+            d = d + diff * diff
+        return d
     a_sq = jnp.sum(a * a, axis=-1, keepdims=True)  # [..., N, 1]
     b_sq = jnp.sum(b * b, axis=-1, keepdims=True)  # [..., M, 1]
     # HIGHEST precision: TPU's default bf16 matmul perturbs distances by ~1e-3,
