@@ -90,3 +90,33 @@ def test_ring_topk_matches_single(rng, mesh8):
     i2, d2 = ring_topk_neighbors(q, db, 8, mesh8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+
+def test_trainer_with_mesh(synthetic_root, tiny_model_cfg):
+    """Trainer's mesh path: DP-sharded batches + replicated state on the
+    8-device CPU mesh, including a mining refresh with sharded embed."""
+    import tempfile
+
+    from epcnet_tpu.configs import DataConfig, ExperimentConfig, TrainConfig
+    from epcnet_tpu.data.tuples import construct_query_dict, scan_runs
+    from epcnet_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=tiny_model_cfg,
+        data=DataConfig(dataset_root=synthetic_root, num_points=128,
+                        num_negatives=4, num_positives=2),
+        train=TrainConfig(batch_num_queries=8, max_epoch=1, learning_rate=1e-3,
+                          mining_start_epoch=0, mining_refresh_steps=10**6,
+                          log_every_steps=5, checkpoint_every_steps=10**6),
+        log_dir=tempfile.mkdtemp(),
+    )
+    mesh = make_mesh(MeshConfig(data_axis=8, db_axis=1))
+    tuples = construct_query_dict(scan_runs(synthetic_root),
+                                  exclude_test_regions=False)
+    tr = Trainer(cfg, tuples, mesh=mesh, checkpoints=False)
+    state = tr.train()
+    assert int(state.step) > 0
+    import json
+
+    recs = [json.loads(l) for l in open(cfg.log_dir + "/train.jsonl")]
+    assert all(np.isfinite(r["loss"]) for r in recs)

@@ -64,3 +64,23 @@ def test_save_load(index, tmp_path):
     i1, _ = index.query_descriptors(q, k=3)
     i2, _ = fresh.query_descriptors(q, k=3)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_place_index_with_mesh(rng, tiny_model_cfg, mesh8):
+    """Sharded retrieval path inside PlaceIndex on the 8-device CPU mesh."""
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    idx = PlaceIndex(embed, state.params, state.batch_stats,
+                     descriptor_dim=tiny_model_cfg.output_dim,
+                     embed_batch=4, block_rows=64, mesh=mesh8)
+    pts = rng.uniform(-1, 1, (12, 128, 3)).astype(np.float32)
+    idx.add(pts)
+    ids_sharded, d_sharded = idx.query(pts[:3], k=2)
+    # must agree with the unsharded index
+    plain = PlaceIndex(embed, state.params, state.batch_stats,
+                       descriptor_dim=tiny_model_cfg.output_dim,
+                       embed_batch=4, block_rows=64)
+    plain.add_descriptors(idx._db)
+    ids_plain, d_plain = plain.query_descriptors(idx.embed(pts[:3]), k=2)
+    np.testing.assert_array_equal(ids_sharded, ids_plain)
