@@ -38,8 +38,11 @@ class GVLADHead(nn.Module):
         centroids = self.param(
             "centroids", nn.initializers.normal(1.0 / jnp.sqrt(d)), (c, d), jnp.float32
         )
-        impl = "auto" if cfg.use_pallas else "jnp"
-        v = vlad_aggregate(features, logits, centroids, impl=impl)  # [B, C*D] fp32
+        # Measured on v5e: XLA's fused softmax+matmul beats the Pallas VLAD
+        # kernel (28.8 vs 42.6 ms wall standalone — docs/KERNELS.md), so the
+        # model always takes the XLA path; the kernel stays available via
+        # ops.vlad_aggregate(impl="pallas") for benchmarking.
+        v = vlad_aggregate(features, logits, centroids, impl="jnp")  # [B, C*D]
 
         # Grouped FC (the "G" of G-VLAD).
         g = cfg.vlad_groups

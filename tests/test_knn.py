@@ -76,3 +76,30 @@ def test_fused_adjacency_matches_build(rng):
     # dispatcher parity
     i2, a2 = knn_adjacency(x, 9, dtype=jnp.float32, impl="jnp")
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(idx_j))
+
+
+def test_knn_k_equals_n(rng):
+    """k == n: the result is the full distance-sorted permutation."""
+    x = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
+    i_ref = np.asarray(knn_jnp(x, 32))
+    i_pal = np.asarray(knn_pallas(x, 32))
+    np.testing.assert_array_equal(i_ref, i_pal)
+    assert sorted(i_pal[0, 0].tolist()) == list(range(32))
+
+
+def test_knn_all_identical_points():
+    """Total degeneracy: every distance ties at 0 -> lowest k indices."""
+    x = jnp.ones((1, 40, 3), jnp.float32)
+    i_ref = np.asarray(knn_jnp(x, 5))
+    i_pal = np.asarray(knn_pallas(x, 5))
+    np.testing.assert_array_equal(i_ref, i_pal)
+    np.testing.assert_array_equal(i_pal[0, 0], np.arange(5))
+
+
+def test_knn_adjacency_row_sums(rng):
+    from epcnet_tpu.ops.knn import knn_with_adjacency_pallas
+
+    x = jnp.asarray(rng.randn(1, 150, 3).astype(np.float32))
+    _, adj = knn_with_adjacency_pallas(x, 10)
+    sums = np.asarray(adj, np.float32).sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=2e-2)  # bf16 1/K rounding
