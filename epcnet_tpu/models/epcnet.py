@@ -46,7 +46,9 @@ class EPCNet(nn.Module):
         f = x.astype(dtype)
         scales = []
         for i, ch in enumerate(cfg.proxyconv_channels):
-            f = ProxyConv(ch, dtype=dtype, name=f"proxyconv_{i}")(f, adj, train, momentum)
+            f = ProxyConv(ch, knn_k=cfg.knn_k, dtype=dtype, name=f"proxyconv_{i}")(
+                f, adj, train, momentum
+            )
             scales.append(f)
 
         f_cat = jnp.concatenate(scales, axis=-1)  # multi-scale concat [PAPER Fig. 2]

@@ -72,19 +72,25 @@ class SharedMLP(nn.Module):
 class ProxyConv(nn.Module):
     """EPC-Net's ProxyConv [PAPER §III-B; LINEAGE: models/ proxy_conv()].
 
-    proxy_i = mean of the K neighbours' features (via the dense normalized
-    adjacency, an MXU matmul — see ops/adjacency.py); output =
-    ReLU(BN(W . [proxy - f, f])). The mean-commutes-with-linear-map identity
-    means the [N, K, C] edge tensor is never materialized — same math as the
-    reference, but gather-free on TPU.
+    proxy_i = mean of the K neighbours' features (via the dense 0/1
+    indicator adjacency, an MXU matmul scaled by 1/K afterwards — see
+    ops/adjacency.py); output = ReLU(BN(W . [proxy - f, f])). The
+    mean-commutes-with-linear-map identity means the [N, K, C] edge tensor
+    is never materialized — same math as the reference, but gather-free.
     """
 
     out_channels: int
+    knn_k: int = 20
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features, adjacency, train: bool, momentum):
-        proxy = neighbor_mean(features, adjacency=adjacency, compute_dtype=self.dtype)
+        proxy = neighbor_mean(
+            features,
+            adjacency=adjacency,
+            compute_dtype=self.dtype,
+            adjacency_scale=1.0 / self.knn_k,
+        )
         h = jnp.concatenate([proxy - features, features], axis=-1)
         h = nn.Dense(self.out_channels, dtype=self.dtype, name="dense")(h)
         h = DynamicBatchNorm(name="bn")(h, not train, momentum)

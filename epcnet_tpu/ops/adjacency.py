@@ -71,13 +71,19 @@ def neighbor_mean(
     idx: jnp.ndarray | None = None,
     adjacency: jnp.ndarray | None = None,
     compute_dtype=jnp.bfloat16,
+    adjacency_scale: float | None = None,
 ) -> jnp.ndarray:
     """Per-point mean of neighbour features (the "proxy point").
 
     Either via a precomputed dense ``adjacency`` (MXU path — preferred; build
-    it once with :func:`mean_adjacency` and reuse across layers) or by
-    explicit gather over ``idx`` (oracle path; matches reference
-    gather-then-mean semantics exactly).
+    it once and reuse across layers) or by explicit gather over ``idx``
+    (oracle path; matches reference gather-then-mean semantics exactly).
+
+    ``adjacency`` may be the 1/K-normalized matrix (adjacency_scale=None) or
+    a 0/1 INDICATOR with ``adjacency_scale=1/K`` applied after the matmul —
+    the indicator form is exact in any dtype (including int8, which halves
+    the HBM read traffic of this [N, N] operand; the int8->bf16 convert
+    fuses into the dot on TPU).
     """
     if adjacency is not None:
         f = features.astype(compute_dtype)
@@ -87,6 +93,8 @@ def neighbor_mean(
             f,
             preferred_element_type=jnp.float32,
         )
+        if adjacency_scale is not None:
+            out = out * jnp.float32(adjacency_scale)
         return out.astype(features.dtype)
     if idx is None:
         raise ValueError("need idx or adjacency")

@@ -118,7 +118,10 @@ def _knn_kernel(
     idx_ref[0] = jnp.concatenate(idx_cols + [pad_i], axis=1)
     dist_ref[0] = jnp.concatenate(dist_cols + [pad_d], axis=1)
     if adj_ref is not None:
-        adj_ref[0] = jnp.where(d == jnp.inf, 1.0 / k, 0.0).astype(adj_ref.dtype)
+        # 0/1 INDICATOR (not 1/K-scaled): exact in int8, which halves the
+        # HBM traffic of every downstream A@F read; consumers scale by 1/K
+        # after the matmul (ops/adjacency.py neighbor_mean).
+        adj_ref[0] = jnp.where(d == jnp.inf, 1.0, 0.0).astype(adj_ref.dtype)
 
 
 @functools.partial(
@@ -148,7 +151,7 @@ def _knn_pallas_batched(
             pl.BlockSpec((1, tile_q, npad), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((b, npad, npad), jnp.bfloat16))
+        out_shape.append(jax.ShapeDtypeStruct((b, npad, npad), jnp.int8))
     outs = pl.pallas_call(
         functools.partial(_knn_kernel, n=npad, k=k, kpad=kpad, cp_real=cp_real),
         grid=grid,
@@ -213,14 +216,14 @@ def knn_with_adjacency_pallas(
     tile_q: int = 128,  # narrower than plain kNN: the adj slab shares VMEM
     interpret: bool | None = None,
 ):
-    """Fused kNN + dense 1/K-normalized adjacency in one kernel pass.
+    """Fused kNN + dense 0/1 indicator adjacency in one kernel pass.
 
-    Returns (idx [..., N, k] int32, A [..., N, N] bf16). The adjacency comes
-    from masks the extraction loop computes anyway, so this replaces the
-    separate ops/adjacency.py build (a full [B, N, N] compare cascade) with
-    ~zero extra kernel work. Both outputs are non-differentiable structure
-    (stop_gradient), exactly as in the reference where the kNN graph is
-    integer indices.
+    Returns (idx [..., N, k] int32, A01 [..., N, N] int8). The adjacency
+    comes from one final compare on state the extraction loop produced
+    anyway, so this replaces the separate ops/adjacency.py build with ~zero
+    extra kernel work; consumers apply the 1/K mean scaling after their A@F
+    matmul. Both outputs are non-differentiable structure (stop_gradient),
+    exactly as in the reference where the kNN graph is integer indices.
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -257,14 +260,15 @@ def knn(x: jnp.ndarray, k: int, return_dists: bool = False, impl: str = "auto"):
 
 
 def knn_adjacency(x: jnp.ndarray, k: int, dtype=jnp.bfloat16, impl: str = "auto"):
-    """(idx, dense mean-adjacency) with the best backend: the fused Pallas
-    kernel on TPU, oracle kNN + ops/adjacency.py build elsewhere."""
+    """(idx, dense 0/1 INDICATOR adjacency) with the best backend: the fused
+    Pallas kernel (int8 output) on TPU, oracle kNN + compare-build elsewhere.
+    Consumers scale by 1/K after their A@F matmul (neighbor_mean)."""
     from epcnet_tpu.ops.adjacency import mean_adjacency
 
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "jnp"
     if impl == "pallas":
-        idx, adj = knn_with_adjacency_pallas(x, k)
-        return idx, adj.astype(dtype)
+        return knn_with_adjacency_pallas(x, k)  # idx, int8 indicator
     idx = knn_jnp(x, k)
-    return idx, mean_adjacency(idx, x.shape[-2], dtype=dtype)
+    indicator = mean_adjacency(idx, x.shape[-2], dtype=jnp.float32) * float(k)
+    return idx, indicator.astype(dtype)

@@ -60,22 +60,26 @@ def test_knn_dispatch(rng):
 
 
 def test_fused_adjacency_matches_build(rng):
-    """The kernel-fused adjacency must equal ops/adjacency.py's build from
-    the same indices."""
+    """The kernel-fused 0/1 indicator adjacency must equal ops/adjacency.py's
+    1/K build from the same indices (up to the K scaling)."""
     from epcnet_tpu.ops.adjacency import mean_adjacency
     from epcnet_tpu.ops.knn import knn_adjacency, knn_with_adjacency_pallas
 
     x = jnp.asarray(rng.randn(2, 200, 3).astype(np.float32))
     idx_p, adj_p = knn_with_adjacency_pallas(x, 9)
+    assert adj_p.dtype == jnp.int8
     idx_j = knn_jnp(x, 9)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
     adj_ref = mean_adjacency(idx_j, 200, dtype=jnp.float32)
     np.testing.assert_allclose(
-        np.asarray(adj_p, dtype=np.float32), np.asarray(adj_ref), atol=1e-2
-    )  # adj_p is bf16: 1/9 rounds to ~3 decimal digits
-    # dispatcher parity
+        np.asarray(adj_p, dtype=np.float32) / 9.0, np.asarray(adj_ref), atol=1e-6
+    )
+    # dispatcher parity: jnp path returns the same 0/1 indicator
     i2, a2 = knn_adjacency(x, 9, dtype=jnp.float32, impl="jnp")
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(idx_j))
+    np.testing.assert_allclose(
+        np.asarray(a2), np.asarray(adj_p, dtype=np.float32), atol=1e-6
+    )
 
 
 def test_knn_k_equals_n(rng):
@@ -102,4 +106,4 @@ def test_knn_adjacency_row_sums(rng):
     x = jnp.asarray(rng.randn(1, 150, 3).astype(np.float32))
     _, adj = knn_with_adjacency_pallas(x, 10)
     sums = np.asarray(adj, np.float32).sum(-1)
-    np.testing.assert_allclose(sums, 1.0, atol=2e-2)  # bf16 1/K rounding
+    np.testing.assert_array_equal(sums, 10.0)  # 0/1 indicator: K per row
