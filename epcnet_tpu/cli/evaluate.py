@@ -82,6 +82,21 @@ def main(argv=None):
             f.write("Average Recall @N:\n")
             f.write(str(np.round(100 * m["recall_at"], 2)) + "\n")
             f.write(f"Average Top 1% Recall: {100 * m['recall_at_1pct']:.2f}\n\n")
+    # machine-readable twin next to the reference-style text table
+    import json
+
+    with open(os.path.splitext(out_path)[0] + ".json", "w") as f:
+        json.dump(
+            {
+                name: {
+                    "recall_at": [float(x) for x in m["recall_at"]],
+                    "recall_at_1pct": float(m["recall_at_1pct"]),
+                }
+                for name, m in results.items()
+            },
+            f,
+            indent=1,
+        )
     avg = results["average"]
     log_string(
         f"avg recall@1={100 * avg['recall_at'][0]:.2f}% "

@@ -101,3 +101,31 @@ def test_knn_invariant_to_feature_scale(rng, tiny_model_cfg):
     i1 = np.asarray(knn_jnp(jnp.asarray(x), 8))
     i2 = np.asarray(knn_jnp(jnp.asarray(x + 5.0), 8))
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_gvlad_g1_equals_dense_fc(rng):
+    """BASELINE config #3's aggregation parity: with vlad_groups=1 the
+    grouped FC degenerates to PointNetVLAD's single dense C*D -> out FC."""
+    import flax.linen as nn
+    from epcnet_tpu.configs import pointnetvlad_config
+    from epcnet_tpu.models.vlad_head import GVLADHead
+    from epcnet_tpu.ops.vlad import vlad_aggregate_jnp
+
+    cfg = pointnetvlad_config(
+        feature_dim=32, vlad_clusters=4, use_pallas=False, gating=False,
+        output_dim=16, vlad_group_dim=16,
+    )
+    head = GVLADHead(cfg)
+    f = jnp.asarray(rng.randn(2, 50, 32).astype(np.float32))
+    v = head.init(jax.random.PRNGKey(0), f, train=False, momentum=0.9)
+    out = head.apply(v, f, train=False, momentum=0.9)
+
+    # manual dense-FC NetVLAD with the same parameters
+    p = v["params"]
+    logits = f @ p["assign"]["kernel"] + p["assign"]["bias"]
+    vlad = vlad_aggregate_jnp(f, logits, p["centroids"])  # [2, C*D]
+    w = np.asarray(p["group_w"])[0]  # [C*D, 16] — G=1: one dense matrix
+    h = np.asarray(vlad) @ w + np.asarray(p["group_b"])[0]
+    dense = h @ np.asarray(p["out_fc"]["kernel"]) + np.asarray(p["out_fc"]["bias"])
+    dense = dense / (np.linalg.norm(dense, axis=-1, keepdims=True) + 1e-12)
+    np.testing.assert_allclose(np.asarray(out), dense, atol=1e-5)
