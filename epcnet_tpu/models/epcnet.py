@@ -42,7 +42,7 @@ class EPCNet(nn.Module):
         # pass (ops/knn.py knn_with_adjacency_pallas).
         impl = "auto" if cfg.use_pallas else "jnp"
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        _, adj = knn_adjacency(x, cfg.knn_k, dtype=dtype, impl=impl)
+        _, adj = knn_adjacency(x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False)
         f = x.astype(dtype)
         scales = []
         for i, ch in enumerate(cfg.proxyconv_channels):

@@ -65,6 +65,26 @@ def knn_jnp(x: jnp.ndarray, k: int, return_dists: bool = False):
 # ----------------------------------------------------------------------------
 
 
+def _knn_adj_only_kernel(x_ref, xt_ref, adj_ref, *, n: int, k: int, cp_real: int):
+    """Adjacency-only variant: same extraction loop, but skips the idx/dist
+    bookkeeping and output stores entirely (the model path consumes only the
+    indicator adjacency)."""
+    q = x_ref[0].astype(jnp.float32)
+    xt = xt_ref[0].astype(jnp.float32)
+    tq = q.shape[0]
+    d = jnp.zeros((tq, n), jnp.float32)
+    for c in range(cp_real):
+        diff = q[:, c : c + 1] - xt[c : c + 1, :]
+        d = d + diff * diff
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+    for _ in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)
+        cand = jnp.where(d <= m, col_ids, n)
+        sel = jnp.min(cand, axis=1, keepdims=True)
+        d = jnp.where(col_ids == sel, jnp.inf, d)
+    adj_ref[0] = jnp.where(d == jnp.inf, 1.0, 0.0).astype(adj_ref.dtype)
+
+
 def _knn_kernel(
     x_ref, xt_ref, idx_ref, dist_ref, adj_ref=None,
     *, n: int, k: int, kpad: int, cp_real: int
@@ -126,16 +146,34 @@ def _knn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_q", "interpret", "with_adjacency", "cp_real"),
+    static_argnames=(
+        "k", "tile_q", "interpret", "with_adjacency", "cp_real", "adjacency_only"
+    ),
 )
 def _knn_pallas_batched(
     xp, k: int, tile_q: int, interpret: bool, with_adjacency: bool = False,
-    cp_real: int = 3,
+    cp_real: int = 3, adjacency_only: bool = False,
 ):
     b, npad, cp = xp.shape
     kpad = max(_LANE, -(-k // _LANE) * _LANE)
     xt = jnp.swapaxes(xp, -1, -2)  # [B, CP, Npad]
     grid = (b, npad // tile_q)
+    in_specs = [
+        pl.BlockSpec((1, tile_q, cp), lambda bi, qi: (bi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp, npad), lambda bi, qi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if adjacency_only:
+        return pl.pallas_call(
+            functools.partial(_knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, tile_q, npad), lambda bi, qi: (bi, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.int8),
+            interpret=interpret,
+        )(xp, xt)
     out_specs = [
         pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
                      memory_space=pltpu.VMEM),
@@ -155,12 +193,7 @@ def _knn_pallas_batched(
     outs = pl.pallas_call(
         functools.partial(_knn_kernel, n=npad, k=k, kpad=kpad, cp_real=cp_real),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_q, cp), lambda bi, qi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp, npad), lambda bi, qi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -215,6 +248,7 @@ def knn_with_adjacency_pallas(
     k: int,
     tile_q: int = 128,  # narrower than plain kNN: the adj slab shares VMEM
     interpret: bool | None = None,
+    with_idx: bool = True,
 ):
     """Fused kNN + dense 0/1 indicator adjacency in one kernel pass.
 
@@ -242,6 +276,12 @@ def knn_with_adjacency_pallas(
     xb = jnp.pad(xb, ((0, 0), (0, npad - n), (0, 0)), constant_values=1e6)
     xb = jnp.pad(xb, ((0, 0), (0, 0), (0, _COORD_PAD - d_in)))
     xb = jax.lax.stop_gradient(xb)
+    if not with_idx:
+        adj = _knn_pallas_batched(
+            xb, k, tile_q, interpret, cp_real=d_in, adjacency_only=True
+        )
+        adj = adj[:, :n, :n].reshape(*lead, n, n)
+        return None, jax.lax.stop_gradient(adj)
     idx, _, adj = _knn_pallas_batched(
         xb, k, tile_q, interpret, with_adjacency=True, cp_real=d_in
     )
@@ -259,16 +299,20 @@ def knn(x: jnp.ndarray, k: int, return_dists: bool = False, impl: str = "auto"):
     return knn_jnp(x, k, return_dists=return_dists)
 
 
-def knn_adjacency(x: jnp.ndarray, k: int, dtype=jnp.bfloat16, impl: str = "auto"):
+def knn_adjacency(
+    x: jnp.ndarray, k: int, dtype=jnp.bfloat16, impl: str = "auto",
+    with_idx: bool = True,
+):
     """(idx, dense 0/1 INDICATOR adjacency) with the best backend: the fused
     Pallas kernel (int8 output) on TPU, oracle kNN + compare-build elsewhere.
-    Consumers scale by 1/K after their A@F matmul (neighbor_mean)."""
+    Consumers scale by 1/K after their A@F matmul (neighbor_mean).
+    ``with_idx=False`` skips the idx/dist bookkeeping entirely (model path)."""
     from epcnet_tpu.ops.adjacency import mean_adjacency
 
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "jnp"
     if impl == "pallas":
-        return knn_with_adjacency_pallas(x, k)  # idx, int8 indicator
+        return knn_with_adjacency_pallas(x, k, with_idx=with_idx)
     idx = knn_jnp(x, k)
     indicator = mean_adjacency(idx, x.shape[-2], dtype=jnp.float32) * float(k)
     return idx, indicator.astype(dtype)
