@@ -18,8 +18,6 @@ import jax.numpy as jnp
 from epcnet_tpu.configs import (
     DataConfig,
     ExperimentConfig,
-    ModelConfig,
-    TrainConfig,
     apply_overrides,
     epcnet_l_config,
 )

@@ -19,8 +19,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-import random
-from typing import Mapping, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd

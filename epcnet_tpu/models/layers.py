@@ -13,7 +13,7 @@ attribute, so one compiled train step serves the whole schedule.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

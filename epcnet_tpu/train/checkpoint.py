@@ -12,10 +12,7 @@ latents at pod scale).
 from __future__ import annotations
 
 import os
-from typing import Any
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from epcnet_tpu.train.state import TrainState

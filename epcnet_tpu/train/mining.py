@@ -11,8 +11,6 @@ negative sampling.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 import jax

@@ -14,7 +14,6 @@ state replicated, and GSPMD inserts the gradient/BN psums over ICI
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
