@@ -60,6 +60,21 @@ def test_train_then_evaluate_cli(cli_root, tmp_path):
     eval_main(["--dataset_root", cli_root, "--log_dir", log_dir])
     results = open(os.path.join(log_dir, "results.txt")).read()
     assert "Average Top 1% Recall" in results
+    assert os.path.isfile(os.path.join(log_dir, "results.json"))
+
+    # reference-workflow path: evaluate from pre-generated pickles
+    from epcnet_tpu.cli.generate_tuples import main as gen_main
+
+    gen_main(["--dataset_root", cli_root, "--mode", "test",
+              "--output_dir", log_dir, "--num_points", "128"])
+    eval_main([
+        "--dataset_root", cli_root, "--log_dir", log_dir,
+        "--database_pickle", os.path.join(log_dir, "oxford_evaluation_database.pickle"),
+        "--query_pickle", os.path.join(log_dir, "oxford_evaluation_query.pickle"),
+        "--output", os.path.join(log_dir, "results_pickled.txt"),
+    ])
+    assert "Average Top 1% Recall" in open(
+        os.path.join(log_dir, "results_pickled.txt")).read()
 
 
 def test_train_restore_cli(cli_root, tmp_path):
