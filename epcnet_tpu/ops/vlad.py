@@ -135,7 +135,7 @@ def vlad_aggregate_pallas(
     tile_n = min(tile_n, max(8, n))
     npad = -(-n // tile_n) * tile_n
     cpad = max(_LANE, -(-c // _LANE) * _LANE)
-    # their contribution... simpler: pad rows get zero features and any
+    # Pad assignment columns with -inf so they get zero softmax mass.
     lg = jnp.pad(lg, ((0, 0), (0, npad - n), (0, cpad - c)), constant_values=-1e30)
     if npad > n:
         # Padded rows: one finite logit (col 0) so softmax is well-defined;
@@ -184,7 +184,10 @@ def vlad_aggregate(
     impl: str = "auto",
 ) -> jnp.ndarray:
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "jnp"
+        # Measured on v5e: XLA's fused softmax+matmul beats the Pallas kernel
+        # here (docs/KERNELS.md), so "auto" = XLA; pass "pallas" explicitly
+        # to benchmark the kernel.
+        impl = "jnp"
     if impl == "pallas":
         return vlad_aggregate_pallas(features, logits, centroids, eps=eps)
     return vlad_aggregate_jnp(features, logits, centroids, eps=eps)

@@ -54,6 +54,7 @@ class PlaceIndex:
         self.mesh = mesh
         self._db = np.zeros((0, descriptor_dim), np.float32)
         self._meta: list = []
+        self._dev_db = None  # cached padded device copy, invalidated on add
 
     # ------------------------------------------------------------------
     @classmethod
@@ -95,13 +96,12 @@ class PlaceIndex:
         return out
 
     def add(self, points: np.ndarray, metadata: Sequence | None = None) -> None:
-        desc = self.embed(points)
-        self._db = np.concatenate([self._db, desc], axis=0)
-        self._meta.extend(metadata if metadata is not None else [None] * len(desc))
+        self.add_descriptors(self.embed(points), metadata)
 
     def add_descriptors(self, desc: np.ndarray, metadata: Sequence | None = None) -> None:
         self._db = np.concatenate([self._db, desc.astype(np.float32)], axis=0)
         self._meta.extend(metadata if metadata is not None else [None] * len(desc))
+        self._dev_db = None  # invalidate the device cache
 
     def __len__(self) -> int:
         return len(self._db)
@@ -115,13 +115,16 @@ class PlaceIndex:
         if len(self._db) == 0:
             raise ValueError("empty index")
         k = min(k, len(self._db))
-        # Pad the DB to a stable block multiple so repeated queries against a
-        # growing index reuse compiled programs.
-        rows = -(-len(self._db) // self.block_rows) * self.block_rows
-        db = np.full((rows, self.dim), 1e6, np.float32)
-        db[: len(self._db)] = self._db
+        if self._dev_db is None:
+            # Pad the DB to a stable block multiple so repeated queries
+            # against a growing index reuse compiled programs, and cache the
+            # device copy until the next add.
+            rows = -(-len(self._db) // self.block_rows) * self.block_rows
+            db = np.full((rows, self.dim), 1e6, np.float32)
+            db[: len(self._db)] = self._db
+            self._dev_db = jnp.asarray(db)
         q = jnp.asarray(desc.astype(np.float32))
-        dbj = jnp.asarray(db)
+        dbj = self._dev_db
         if self.mesh is not None and "db" in self.mesh.shape and self.mesh.shape["db"] > 1:
             idx, dist = sharded_topk_neighbors(q, dbj, k, self.mesh)
         else:
@@ -140,3 +143,4 @@ class PlaceIndex:
         data = np.load(path, allow_pickle=True)
         self._db = data["db"]
         self._meta = list(data["meta"])
+        self._dev_db = None

@@ -64,13 +64,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch: dict) -> dict:
-        arrs = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
-        if self._batch_shard is not None:
-            arrs = {
-                k: jax.device_put(v, NamedSharding(self.mesh, P("data", *[None] * (v.ndim - 1))))
-                for k, v in arrs.items()
-            }
-        return arrs
+        if self._batch_shard is None:
+            return {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+        # device_put straight from host numpy with the target sharding —
+        # no intermediate single-device copy.
+        return {
+            k: jax.device_put(
+                v, NamedSharding(self.mesh, P("data", *[None] * (v.ndim - 1)))
+            )
+            for k, v in batch.items()
+            if k != "ids"
+        }
 
     def maybe_restore(self) -> int:
         if self.ckpt is not None:
