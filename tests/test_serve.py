@@ -84,3 +84,30 @@ def test_place_index_with_mesh(rng, tiny_model_cfg, mesh8):
     plain.add_descriptors(idx._db)
     ids_plain, d_plain = plain.query_descriptors(idx.embed(pts[:3]), k=2)
     np.testing.assert_array_equal(ids_sharded, ids_plain)
+
+
+def test_from_checkpoint(synthetic_root, tmp_path):
+    """PlaceIndex.from_checkpoint: the full serving bootstrap path."""
+    from epcnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "log")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", synthetic_root, "--log_dir", log_dir, "--synthetic"]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+
+    idx = PlaceIndex.from_checkpoint(log_dir, embed_batch=4)
+    pts = np.random.default_rng(0).uniform(-1, 1, (6, 128, 3)).astype(np.float32)
+    idx.add(pts)
+    ids, dists = idx.query(pts[:2], k=1)
+    np.testing.assert_array_equal(ids[:, 0], [0, 1])
+    assert dists.max() < 1e-4
