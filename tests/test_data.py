@@ -120,3 +120,32 @@ def test_loader_hard_negative_hook(synthetic_root):
     for ids in b["ids"]:
         expect = tt.queries[ids["query"]]["negatives"][:2]
         assert ids["negatives"][:2] == list(expect)
+
+
+def test_loader_deterministic_given_seed(synthetic_root):
+    """Same seed + epoch -> identical batches (restart idempotence depends
+    on this: resume re-derives data order from (seed, epoch))."""
+    df = scan_runs(synthetic_root)
+    tt = construct_query_dict(df, exclude_test_regions=False)
+    cfg = DataConfig(dataset_root=synthetic_root, num_points=128,
+                     num_negatives=3, num_positives=1)
+
+    def first_two(seed):
+        loader = TupleLoader(tt, cfg, batch_size=2, seed=seed)
+        out = []
+        for b in loader.epoch(1):
+            out.append((b["query"].copy(), [i["query"] for i in b["ids"]]))
+            if len(out) == 2:
+                loader.stop()
+                break
+        return out
+
+    a = first_two(7)
+    b = first_two(7)
+    for (qa, ia), (qb, ib) in zip(a, b):
+        np.testing.assert_array_equal(qa, qb)
+        assert ia == ib
+    c = first_two(8)
+    assert any(ia != ic for (_, ia), (_, ic) in zip(a, c)) or not np.array_equal(
+        a[0][0], c[0][0]
+    )
