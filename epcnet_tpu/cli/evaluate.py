@@ -17,6 +17,7 @@ import numpy as np
 
 from epcnet_tpu.configs import ExperimentConfig, apply_overrides
 from epcnet_tpu.data.tuples import (
+    any_in_test_regions,
     construct_query_and_database_sets,
     load_pickle,
     scan_runs,
@@ -67,8 +68,12 @@ def main(argv=None):
     else:
         for name in args.regions or [cfg.data.runs_subdir]:
             df = scan_runs(cfg.data.dataset_root, name)
+            # Real-Oxford queries are restricted to the held-out rectangles
+            # (detected by UTM intersection, not directory name); the
+            # database always keeps full runs [LINEAGE: generate_test_sets.py].
             regions[name] = construct_query_and_database_sets(
-                df, cfg.data.test_positive_radius_m
+                df, cfg.data.test_positive_radius_m,
+                only_test_regions=any_in_test_regions(df),
             )
 
     results = evaluate_dataset(

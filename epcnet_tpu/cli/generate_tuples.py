@@ -16,6 +16,7 @@ import os
 
 from epcnet_tpu.data.synthetic import generate_synthetic_dataset
 from epcnet_tpu.data.tuples import (
+    any_in_test_regions,
     construct_query_and_database_sets,
     construct_query_dict,
     save_pickle,
@@ -34,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--positive_radius", type=float, default=10.0)
     ap.add_argument("--negative_radius", type=float, default=50.0)
     ap.add_argument("--test_positive_radius", type=float, default=25.0)
+    ap.add_argument(
+        "--only_test_regions", choices=["auto", "true", "false"], default="auto",
+        help="mode=test: restrict QUERIES to the held-out rectangles (the "
+        "database always keeps full runs); auto = filter iff the scanned "
+        "runs intersect the rectangles (real Oxford yes, synthetic no)",
+    )
     ap.add_argument("--synthetic", action="store_true",
                     help="first generate a synthetic dataset at dataset_root")
     ap.add_argument("--synthetic_runs", type=int, default=3)
@@ -60,8 +67,11 @@ def main(argv=None):
         save_pickle(tt.queries, path)
         print(f"wrote {len(tt.queries)} tuples -> {path}")
     else:
+        only_test = {
+            "auto": any_in_test_regions(df), "true": True, "false": False,
+        }[args.only_test_regions]
         db_sets, q_sets = construct_query_and_database_sets(
-            df, args.test_positive_radius
+            df, args.test_positive_radius, only_test_regions=only_test
         )
         dbp = os.path.join(out_dir, f"{args.runs_subdir}_evaluation_database.pickle")
         qp = os.path.join(out_dir, f"{args.runs_subdir}_evaluation_query.pickle")

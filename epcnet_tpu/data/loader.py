@@ -46,15 +46,22 @@ def get_query_tuple(
         return None
 
     pos_ids = rng.choice(entry["positives"], cfg.num_positives, replace=False)
-    negs = list(hard_negatives or [])
+    negs = [int(n) for n in (hard_negatives or [])][: cfg.num_negatives]
     pool = entry["negatives"]
     if len(pool) == 0:
         return None
-    while len(negs) < cfg.num_negatives:
-        cand = int(pool[rng.integers(len(pool))])
-        if cand not in negs:
-            negs.append(cand)
-    negs = negs[: cfg.num_negatives]
+    need = cfg.num_negatives - len(negs)
+    if need > 0:
+        fresh = [int(p) for p in pool if int(p) not in set(negs)]
+        if len(fresh) >= need:
+            negs.extend(int(x) for x in rng.choice(fresh, need, replace=False))
+        else:
+            # tiny/synthetic regions: fall back to replacement rather than
+            # rejection-sample forever (the reference's random.sample would
+            # raise here; we keep the tuple usable)
+            negs.extend(fresh)
+            while len(negs) < cfg.num_negatives:
+                negs.append(int(pool[rng.integers(len(pool))]))
 
     def load(i):
         return load_pc_file(

@@ -33,7 +33,7 @@ OXFORD_TEST_REGIONS = [
     (5735237.358209, 620543.094379),
     (5734749.303802, 619932.693364),
 ]
-OXFORD_REGION_WIDTH = 150.0  # metres [LINEAGE]
+OXFORD_REGION_WIDTH = 150.0  # metres, a HALF-width: each box spans ±150 m [LINEAGE]
 
 
 @dataclasses.dataclass
@@ -52,10 +52,34 @@ def in_test_region(
     regions: Sequence[tuple[float, float]] = tuple(OXFORD_TEST_REGIONS),
     width: float = OXFORD_REGION_WIDTH,
 ) -> bool:
+    """True inside a ±``width`` box around any region centre.
+
+    ``width`` is a HALF-width — the reference's check_in_test_set treats its
+    x_width=150 as ``|x - p| < 150`` on each axis, i.e. a 300 m square
+    [LINEAGE: generate_training_tuples_baseline.py check_in_test_set].
+    """
     for cn, ce in regions:
-        if abs(northing - cn) < width / 2 and abs(easting - ce) < width / 2:
+        if abs(northing - cn) < width and abs(easting - ce) < width:
             return True
     return False
+
+
+def any_in_test_regions(
+    df: pd.DataFrame,
+    regions: Sequence[tuple[float, float]] | None = None,
+    width: float = OXFORD_REGION_WIDTH,
+) -> bool:
+    """Does any scanned submap fall inside the held-out rectangles? Drives
+    the CLIs' ``only_test_regions=auto``: real Oxford data intersects them,
+    synthetic/in-house layouts don't, so auto picks the right protocol
+    without trusting directory names."""
+    regions = regions if regions is not None else OXFORD_TEST_REGIONS
+    return bool(
+        df.apply(
+            lambda r: in_test_region(r["northing"], r["easting"], regions, width),
+            axis=1,
+        ).any()
+    )
 
 
 def _read_run_csv(csv_path: str) -> pd.DataFrame:
@@ -162,19 +186,17 @@ def construct_query_and_database_sets(
 ):
     """P3 equivalent. Returns (database_sets, query_sets): lists (one per
     run) of {idx: entry} dicts; each query entry maps db-run index ->
-    ground-truth database indices within 25 m."""
-    if only_test_regions:
-        regions = test_regions if test_regions is not None else OXFORD_TEST_REGIONS
-        keep = df.apply(
-            lambda r: in_test_region(r["northing"], r["easting"], regions), axis=1
-        )
-        df = df[keep].reset_index(drop=True)
+    ground-truth database indices within ``test_positive_radius``.
 
-    runs = sorted(df["run"].unique())
-    database_sets, query_sets, trees = [], [], []
-    for run in runs:
-        sub = df[df["run"] == run].reset_index(drop=True)
-        entries = {
+    Reference semantics [LINEAGE: generate_test_sets.py]: the DATABASE keeps
+    EVERY submap of a run; ``only_test_regions`` restricts only the QUERIES
+    to the held-out rectangles. Ground truth is computed against each full
+    run's KDTree, so recall@top-1% sees the true database size.
+    """
+    regions = test_regions if test_regions is not None else OXFORD_TEST_REGIONS
+
+    def entries_of(sub):
+        return {
             i: {
                 "query": sub["file"][i],
                 "northing": float(sub["northing"][i]),
@@ -182,17 +204,28 @@ def construct_query_and_database_sets(
             }
             for i in range(len(sub))
         }
-        database_sets.append(entries)
-        query_sets.append({i: dict(v) for i, v in entries.items()})
+
+    runs = sorted(df["run"].unique())
+    database_sets, query_sets, trees = [], [], []
+    for run in runs:
+        sub = df[df["run"] == run].reset_index(drop=True)
+        database_sets.append(entries_of(sub))
         trees.append(KDTree(sub[["northing", "easting"]].to_numpy()))
+        if only_test_regions:
+            keep = sub.apply(
+                lambda r: in_test_region(r["northing"], r["easting"], regions),
+                axis=1,
+            )
+            sub = sub[keep].reset_index(drop=True)
+        query_sets.append(entries_of(sub))
 
     for qi, qset in enumerate(query_sets):
+        if not qset:
+            continue
+        coords = np.array([[v["northing"], v["easting"]] for v in qset.values()])
         for di, tree in enumerate(trees):
             if di == qi:
                 continue
-            coords = np.array(
-                [[v["northing"], v["easting"]] for v in qset.values()]
-            )
             gt = tree.query_radius(coords, r=test_positive_radius)
             for i, hits in enumerate(gt):
                 qset[i][di] = sorted(int(h) for h in hits)

@@ -107,8 +107,10 @@ def evaluate_region(
         embed_entries(embed_fn, params, batch_stats, s, data_cfg, eval_cfg.batch_size)
         for s in database_sets
     ]
+    # a run may have no queries inside the test regions — skip it
     q_descs = [
         embed_entries(embed_fn, params, batch_stats, s, data_cfg, eval_cfg.batch_size)
+        if len(s) else None
         for s in query_sets
     ]
     recalls, one_percents = [], []
@@ -117,6 +119,8 @@ def evaluate_region(
             if di == qi:
                 continue
             qset = query_sets[qi]
+            if not qset:
+                continue
             gt = [qset[i].get(di, []) for i in range(len(qset))]
             r, p1, n_eval = get_recall(
                 db_descs[di], q_descs[qi], gt, eval_cfg.top_k, mesh

@@ -6,9 +6,11 @@ PointNetVLAD heritage plus EPC-Net's grouped fully-connected ("G-VLAD")
 
 G-VLAD: the C·D VLAD vector is split into G groups; a per-group small FC
 maps each group down, the results are concatenated and a final FC produces
-the 256-D descriptor. With G=1 and group_dim=output_dim this degrades to
-PointNetVLAD's single dense 65536->256 FC (BASELINE config #3's parity
-check). Context gating follows PointNetVLAD [LINEAGE].
+the 256-D descriptor. With G=1 and group_dim=output_dim the final FC is
+SKIPPED so the head is exactly PointNetVLAD's single dense 65536->256 FC
+(BASELINE config #3's parity check — one matrix, importable one-to-one
+from reference hidden1_weights). Context gating follows PointNetVLAD
+[LINEAGE].
 """
 
 from __future__ import annotations
@@ -66,7 +68,13 @@ class GVLADHead(nn.Module):
             + bg
         )  # [B, G, group_dim]
         h = h.reshape(b, g * cfg.vlad_group_dim)
-        out = nn.Dense(cfg.output_dim, name="out_fc", dtype=jnp.float32)(h)
+        if g == 1 and cfg.vlad_group_dim == cfg.output_dim:
+            # PointNetVLAD parity: ONE dense C*D -> output_dim FC, exactly the
+            # reference's hidden1_weights layer stack (a second stacked linear
+            # would break one-to-one weight import; see utils/importer.py).
+            out = h
+        else:
+            out = nn.Dense(cfg.output_dim, name="out_fc", dtype=jnp.float32)(h)
 
         if cfg.gating:
             gate = nn.sigmoid(nn.Dense(cfg.output_dim, name="gate", dtype=jnp.float32)(out))

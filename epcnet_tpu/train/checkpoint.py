@@ -38,15 +38,19 @@ class CheckpointManager:
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
+            "epoch": state.epoch,
+            "epoch_start_step": state.epoch_start_step,
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def restore(self, state: TrainState) -> TrainState:
         """Restore the latest checkpoint into the (template) state.
 
-        All other run state is derived deterministically from ``step`` (data
-        RNG keys are (seed, epoch)-hashed; the mining cache is rebuilt), so
-        this pytree alone makes resume idempotent.
+        The payload carries (step, epoch, epoch_start_step); everything else
+        is derived deterministically (data RNG keys are (seed, epoch)-hashed;
+        the mining cache is rebuilt), so this pytree alone makes resume
+        idempotent — the Trainer re-enters its epoch loop at ``epoch`` and
+        skips ``step - epoch_start_step`` already-consumed batches.
         """
         step = self._mgr.latest_step()
         if step is None:
@@ -56,6 +60,8 @@ class CheckpointManager:
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
+            "epoch": state.epoch,
+            "epoch_start_step": state.epoch_start_step,
         }
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return state.replace(
@@ -63,6 +69,8 @@ class CheckpointManager:
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
+            epoch=restored["epoch"],
+            epoch_start_step=restored["epoch_start_step"],
         )
 
     def wait(self) -> None:

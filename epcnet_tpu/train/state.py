@@ -48,7 +48,13 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
-    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # Epoch bookkeeping for resume (SURVEY.md §5.3): ``epoch`` is the epoch
+    # in progress and ``epoch_start_step`` the global step at its start, so a
+    # restore can re-enter the epoch loop at the right place and skip the
+    # already-consumed batches of a mid-epoch checkpoint.
+    epoch: jnp.ndarray = None
+    epoch_start_step: jnp.ndarray = None
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -84,5 +90,7 @@ def create_train_state(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
+        epoch=jnp.zeros((), jnp.int32),
+        epoch_start_step=jnp.zeros((), jnp.int32),
         tx=tx,
     )

@@ -81,8 +81,22 @@ class Trainer:
             self.state = self.ckpt.restore(self.state)
         return int(self.state.step)
 
+    def _mark_epoch(self, epoch: int) -> None:
+        """Record (epoch, step-at-epoch-start) in the state so checkpoints
+        carry resume position (SURVEY.md §5.3)."""
+        e = jnp.asarray(epoch, jnp.int32)
+        if self._repl is not None:
+            e = jax.device_put(e, self._repl)
+        self.state = self.state.replace(epoch=e, epoch_start_step=self.state.step)
+
     # ------------------------------------------------------------------
     def train(self, on_epoch_end=None) -> TrainState:
+        """Epoch loop. Resume-aware: after ``maybe_restore()`` it re-enters at
+        the restored epoch and discards the batches the interrupted epoch had
+        already consumed (the loader order is (seed, epoch)-deterministic), so
+        a killed-and-restarted run continues the uninterrupted run exactly —
+        at epoch boundaries bit-for-bit; mid-epoch the data order realigns
+        while the mining cache is rebuilt from current params."""
         cfg = self.cfg
         t_start = time.time()
         clouds_per_tuple = (
@@ -91,7 +105,12 @@ class Trainer:
             + cfg.data.num_negatives
             + (1 if cfg.data.use_other_neg else 0)
         )
-        for epoch in range(cfg.train.max_epoch):
+        start_epoch = int(self.state.epoch)
+        resume_skip = int(self.state.step) - int(self.state.epoch_start_step)
+        for epoch in range(start_epoch, cfg.train.max_epoch):
+            skip = resume_skip if epoch == start_epoch else 0
+            if skip == 0:
+                self._mark_epoch(epoch)
             if epoch >= cfg.train.mining_start_epoch:
                 with profile_region("mining_refresh"):
                     self.mining.refresh(
@@ -102,6 +121,9 @@ class Trainer:
             m = {"loss": float("nan")}  # stays if the epoch yields no batches
             t_epoch = time.time()
             for batch in self.loader.epoch(epoch):
+                if skip > 0:
+                    skip -= 1  # consumed before the restart — replay past it
+                    continue
                 with profile_region("train_step"):
                     dev_batch = self._device_batch(batch)
                     self.state, m = self.step_fn(self.state, dev_batch)
@@ -132,6 +154,9 @@ class Trainer:
                 f"epoch {epoch}: {n_steps} steps, loss={float(m['loss']):.4f}, "
                 f"{time.time() - t_epoch:.1f}s"
             )
+            # advance the marker BEFORE saving: an epoch-boundary checkpoint
+            # resumes straight into the next epoch (no replay-and-skip pass)
+            self._mark_epoch(epoch + 1)
             if self.ckpt is not None:
                 self.ckpt.save(self.state)
             if on_epoch_end is not None:

@@ -65,6 +65,9 @@ def test_test_region_exclusion():
     regions = [(100.0, 100.0)]
     assert in_test_region(110.0, 60.0, regions, width=150.0)
     assert not in_test_region(300.0, 100.0, regions, width=150.0)
+    # width is a HALF-width (reference check_in_test_set semantics):
+    assert in_test_region(200.0, 100.0, regions, width=150.0)  # |d|=100 < 150
+    assert not in_test_region(251.0, 100.0, regions, width=150.0)  # |d|=151 > 150
 
 
 def test_query_and_database_sets(synthetic_root):
@@ -87,6 +90,36 @@ def test_query_and_database_sets(synthetic_root):
                     assert dist < 25.0
                     found += 1
     assert found > 0
+
+
+def test_query_sets_filtered_database_full(synthetic_root):
+    """only_test_regions restricts QUERIES only; the database keeps every
+    submap of the run (reference generate_test_sets.py semantics)."""
+    df = scan_runs(synthetic_root)
+    # pick a region box around the first submap so the filter keeps >=1 query
+    centre = (float(df["northing"][0]), float(df["easting"][0]))
+    db_sets, q_sets = construct_query_and_database_sets(
+        df, test_positive_radius=25.0, only_test_regions=True,
+        test_regions=[centre],
+    )
+    run_sizes = df.groupby("run").size()
+    for run, dbs in zip(sorted(df["run"].unique()), db_sets):
+        assert len(dbs) == run_sizes[run]  # database unfiltered
+    assert any(len(q) > 0 for q in q_sets)
+    assert sum(len(q) for q in q_sets) < sum(len(d) for d in db_sets)
+    # ground-truth indices address the FULL database, and all db entries
+    # within radius are present (gt computed against the full-run tree)
+    for qi, qset in enumerate(q_sets):
+        for entry in qset.values():
+            for di in range(len(db_sets)):
+                if di == qi or di not in entry:
+                    continue
+                expect = [
+                    g for g, dbe in db_sets[di].items()
+                    if np.hypot(entry["northing"] - dbe["northing"],
+                                entry["easting"] - dbe["easting"]) < 25.0
+                ]
+                assert entry[di] == sorted(expect)
 
 
 def test_loader_shapes_and_coverage(synthetic_root):

@@ -104,9 +104,9 @@ def test_knn_invariant_to_feature_scale(rng, tiny_model_cfg):
 
 
 def test_gvlad_g1_equals_dense_fc(rng):
-    """BASELINE config #3's aggregation parity: with vlad_groups=1 the
-    grouped FC degenerates to PointNetVLAD's single dense C*D -> out FC."""
-    import flax.linen as nn
+    """BASELINE config #3's aggregation parity: with vlad_groups=1 and
+    group_dim=output_dim the head is PointNetVLAD's SINGLE dense
+    C*D -> out FC (no stacked out_fc — one-to-one weight-import parity)."""
     from epcnet_tpu.configs import pointnetvlad_config
     from epcnet_tpu.models.vlad_head import GVLADHead
     from epcnet_tpu.ops.vlad import vlad_aggregate_jnp
@@ -122,10 +122,10 @@ def test_gvlad_g1_equals_dense_fc(rng):
 
     # manual dense-FC NetVLAD with the same parameters
     p = v["params"]
+    assert "out_fc" not in p  # the reference layer stack: exactly one FC
     logits = f @ p["assign"]["kernel"] + p["assign"]["bias"]
     vlad = vlad_aggregate_jnp(f, logits, p["centroids"])  # [2, C*D]
     w = np.asarray(p["group_w"])[0]  # [C*D, 16] — G=1: one dense matrix
-    h = np.asarray(vlad) @ w + np.asarray(p["group_b"])[0]
-    dense = h @ np.asarray(p["out_fc"]["kernel"]) + np.asarray(p["out_fc"]["bias"])
+    dense = np.asarray(vlad) @ w + np.asarray(p["group_b"])[0]
     dense = dense / (np.linalg.norm(dense, axis=-1, keepdims=True) + 1e-12)
     np.testing.assert_allclose(np.asarray(out), dense, atol=1e-5)

@@ -81,8 +81,10 @@ def test_trainer_loss_decreases(synthetic_root, tiny_model_cfg):
     tr.train()
     import json
     recs = [json.loads(l) for l in open(cfg.log_dir + "/train.jsonl")]
-    first = np.mean([r["loss"] for r in recs[:3]])
-    last = np.mean([r["loss"] for r in recs[-3:]])
+    # batch-level loss is noisy: compare first half vs second half of the run
+    losses = [r["loss"] for r in recs]
+    first = np.mean(losses[: len(losses) // 2])
+    last = np.mean(losses[len(losses) // 2 :])
     assert last < first
 
 
@@ -107,6 +109,79 @@ def test_mining_cache(synthetic_root, tiny_model_cfg):
     best = min(d)
     got = ((cache.latents[hard[0]] - cache.latents[0]) ** 2).sum(-1)
     assert got == pytest.approx(best, rel=1e-5)
+
+
+def test_trainer_epoch_resume(synthetic_root, tiny_model_cfg):
+    """Trainer-level restart idempotence (SURVEY.md §5.3): 3 epochs straight
+    vs 2 epochs -> kill -> restore -> continue: identical final params, and
+    the resumed run re-enters at epoch 2 instead of replaying from 0."""
+    import dataclasses
+
+    tt = construct_query_dict(scan_runs(synthetic_root), exclude_test_regions=False)
+
+    cfg_a = _exp_cfg(synthetic_root, tiny_model_cfg, max_epoch=3,
+                     mining_start_epoch=1)
+    sa = Trainer(cfg_a, tt, checkpoints=False).train()
+
+    cfg_b = _exp_cfg(synthetic_root, tiny_model_cfg, max_epoch=2,
+                     mining_start_epoch=1)
+    tr_b = Trainer(cfg_b, tt)
+    tr_b.train()  # final-epoch save carries the epoch marker
+
+    cfg_c = dataclasses.replace(
+        cfg_b, train=dataclasses.replace(cfg_b.train, max_epoch=3)
+    )
+    tr_c = Trainer(cfg_c, tt)  # "fresh process", same log_dir
+    step_restored = tr_c.maybe_restore()
+    assert step_restored == int(sa.step) * 2 // 3  # two of three epochs done
+    assert int(tr_c.state.epoch) == 2  # resumes INTO epoch 2, no replay
+    sc = tr_c.train()
+
+    assert int(sc.step) == int(sa.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sc.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_trainer_midepoch_resume(synthetic_root, tiny_model_cfg):
+    """A mid-epoch kill resumes from the periodic checkpoint and skips the
+    already-consumed batches, finishing identical to the uninterrupted run."""
+    tt = construct_query_dict(scan_runs(synthetic_root), exclude_test_regions=False)
+
+    cfg_a = _exp_cfg(synthetic_root, tiny_model_cfg, max_epoch=1)
+    sa = Trainer(cfg_a, tt, checkpoints=False).train()
+
+    cfg_b = _exp_cfg(synthetic_root, tiny_model_cfg, max_epoch=1,
+                     checkpoint_every_steps=7)
+    tr_b = Trainer(cfg_b, tt)
+
+    class Killed(RuntimeError):
+        pass
+
+    real_step, calls = tr_b.step_fn, [0]
+
+    def dying_step(state, batch):
+        calls[0] += 1
+        if calls[0] > 10:  # dies AFTER the step-7 periodic checkpoint landed
+            raise Killed()
+        return real_step(state, batch)
+
+    tr_b.step_fn = dying_step
+    with pytest.raises(Killed):
+        tr_b.train()
+    tr_b.ckpt.wait()
+
+    tr_c = Trainer(cfg_b, tt)
+    assert tr_c.maybe_restore() == 7
+    assert int(tr_c.state.epoch) == 0 and int(tr_c.state.epoch_start_step) == 0
+    sc = tr_c.train()
+
+    assert int(sc.step) == int(sa.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sc.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
 def test_checkpoint_roundtrip(synthetic_root, tiny_model_cfg):
