@@ -93,11 +93,19 @@ def main(argv=None):
 
     for epoch in range(cfg.train.max_epoch):
         t0 = time.time()
+        n_steps = 0
+        m = {k: float("nan") for k in ("loss", "metric_loss", "mimic_loss")}
         for batch in loader.epoch(epoch):
+            n_steps += 1
             dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
             state, m = step_fn(state, teacher_vars, dev)
             if int(state.step) % cfg.train.log_every_steps == 0:
                 metrics.write(int(state.step), m, epoch=epoch)
+        if n_steps == 0:
+            log_string(
+                f"epoch {epoch}: 0 usable tuples (check data.num_positives "
+                f"vs the dataset's positive counts)"
+            )
         mgr.save(state)
         log_string(
             f"epoch {epoch}: loss={float(m['loss']):.4f} "

@@ -3,23 +3,32 @@
 Reference equivalent: loading_pointclouds.py get_query_tuple() +
 train.py's synchronous feed_dict loop [LINEAGE]. The reference loads every
 tuple on the main Python thread between sess.run calls — a known CPU
-bottleneck (SURVEY.md §3.1). Here a thread pool assembles batches ahead of
-the device and a bounded queue keeps ``prefetch_depth`` batches ready, so
-host IO overlaps device compute.
+bottleneck (SURVEY.md §3.1). Here ``DataConfig.loader_threads`` pool workers
+assemble tuples in parallel (each tuple's clouds load through the GIL-free
+native batch loader), a bounded in-flight window keeps order deterministic,
+and a bounded queue keeps ``prefetch_depth`` batches ready, so host IO
+overlaps device compute.
+
+Determinism: tuple composition is keyed (seed, epoch, tuple-idx) and batch
+augmentation (seed, epoch, batch-seq), so the emitted stream is identical
+for ANY pool size — restart idempotence (SURVEY.md §5.3) does not depend on
+thread scheduling.
 """
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Sequence
 
 import numpy as np
 
 from epcnet_tpu.configs import DataConfig
+from epcnet_tpu.data.native_loader import load_pc_files_native
 from epcnet_tpu.data.pointclouds import (
     jitter_point_cloud,
-    load_pc_file,
     rotate_point_cloud,
 )
 from epcnet_tpu.data.tuples import TrainingTuples
@@ -63,18 +72,7 @@ def get_query_tuple(
             while len(negs) < cfg.num_negatives:
                 negs.append(int(pool[rng.integers(len(pool))]))
 
-    def load(i):
-        return load_pc_file(
-            tuples.queries[int(i)]["query"], cfg.dataset_root, cfg.num_points
-        )
-
-    out = {
-        "query": load(idx),
-        "positives": np.stack([load(i) for i in pos_ids]),
-        "negatives": np.stack([load(i) for i in negs]),
-        "ids": {"query": idx, "positives": [int(i) for i in pos_ids],
-                "negatives": [int(i) for i in negs]},
-    }
+    other = None
     if cfg.use_other_neg:
         # neighbours of everything sampled -> other_neg must avoid them all
         banned = set(entry["positives"]) | {idx}
@@ -84,7 +82,22 @@ def get_query_tuple(
         other = int(choices[rng.integers(len(choices))]) if choices else int(
             pool[rng.integers(len(pool))]
         )
-        out["other_neg"] = load(other)
+
+    # ONE native batch load for the whole tuple (GIL-free parallel reads)
+    load_ids = [idx, *[int(i) for i in pos_ids], *negs] + ([other] if other is not None else [])
+    files = [tuples.queries[i]["query"] for i in load_ids]
+    pts = load_pc_files_native(files, cfg.dataset_root, cfg.num_points, n_threads=4)
+
+    p, ng = cfg.num_positives, cfg.num_negatives
+    out = {
+        "query": pts[0],
+        "positives": pts[1 : 1 + p],
+        "negatives": pts[1 + p : 1 + p + ng],
+        "ids": {"query": idx, "positives": [int(i) for i in pos_ids],
+                "negatives": list(negs)},
+    }
+    if other is not None:
+        out["other_neg"] = pts[-1]
         out["ids"]["other_neg"] = other
     return out
 
@@ -131,33 +144,65 @@ class TupleLoader:
         self._stop.set()
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
-        """One pass over shuffled tuple indices, prefetched."""
+        """One pass over shuffled tuple indices, pool-assembled + prefetched."""
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.tuples.queries))
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch_depth)
         stop = self._stop
+        n_workers = max(1, self.cfg.loader_threads)
 
-        def worker():
-            wrng = np.random.default_rng((self.seed, epoch_idx, 1))
+        def assemble(idx: int):
+            # per-tuple RNG stream -> result independent of pool scheduling
+            trng = np.random.default_rng((self.seed, epoch_idx, 1, idx))
+            hard = self._hard_neg_fn(idx) if self._hard_neg_fn else None
+            return get_query_tuple(self.tuples, idx, self.cfg, trng, hard)
+
+        def put_checked(item) -> bool:
+            # bounded put that honours stop() even when the queue is full
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            crng = np.random.default_rng((self.seed, epoch_idx, 2))
             try:
-                batch = []
-                for idx in order:
-                    if stop.is_set():
-                        return
-                    hard = self._hard_neg_fn(int(idx)) if self._hard_neg_fn else None
-                    t = get_query_tuple(self.tuples, int(idx), self.cfg, wrng, hard)
-                    if t is None:
-                        continue
-                    batch.append(t)
-                    if len(batch) == self.batch_size:
-                        q.put(self._collate(batch, wrng))
-                        batch = []
+                with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                    inflight = collections.deque()
+                    batch = []
+                    it = iter(order)
+                    exhausted = False
+                    while not stop.is_set():
+                        while not exhausted and len(inflight) < 2 * n_workers:
+                            try:
+                                inflight.append(ex.submit(assemble, int(next(it))))
+                            except StopIteration:
+                                exhausted = True
+                        if not inflight:
+                            break
+                        t = inflight.popleft().result()
+                        if t is None:
+                            continue
+                        batch.append(t)
+                        if len(batch) == self.batch_size:
+                            if not put_checked(self._collate(batch, crng)):
+                                return
+                            batch = []
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_checked(e)
             finally:
-                q.put(None)
+                if stop.is_set():
+                    try:
+                        q.put_nowait(None)
+                    except queue.Full:
+                        pass  # consumer already gone
+                else:
+                    q.put(None)
 
-        th = threading.Thread(target=worker, daemon=True)
+        th = threading.Thread(target=producer, daemon=True)
         th.start()
         while True:
             item = q.get()

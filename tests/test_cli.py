@@ -48,7 +48,7 @@ def test_train_then_evaluate_cli(cli_root, tmp_path):
         "train.max_epoch=1", "train.mining_start_epoch=99",
         "train.log_every_steps=5", "train.checkpoint_every_steps=1000000",
     ]
-    args = ["--dataset_root", cli_root, "--log_dir", log_dir, "--synthetic"]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir]
     for s in sets:
         args += ["--set", s]
     train_main(args)
@@ -78,7 +78,8 @@ def test_train_then_evaluate_cli(cli_root, tmp_path):
 
 
 def test_train_restore_cli(cli_root, tmp_path):
-    """--restore resumes from the saved checkpoint (step advances)."""
+    """--restore resumes AT the saved epoch: same max_epoch trains nothing
+    more; a raised max_epoch trains exactly the additional epochs."""
     from epcnet_tpu.cli.train import main as train_main
 
     log_dir = str(tmp_path / "log2")
@@ -91,20 +92,23 @@ def test_train_restore_cli(cli_root, tmp_path):
         "train.max_epoch=1", "train.mining_start_epoch=99",
         "train.checkpoint_every_steps=1000000",
     ]
-    args = ["--dataset_root", cli_root, "--log_dir", log_dir, "--synthetic"]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir]
     for s in sets:
         args += ["--set", s]
     train_main(args)
-    import orbax.checkpoint as ocp
 
-    steps1 = max(
-        int(d) for d in os.listdir(os.path.join(log_dir, "ckpt")) if d.isdigit()
-    )
+    def latest_step():
+        return max(
+            int(d) for d in os.listdir(os.path.join(log_dir, "ckpt")) if d.isdigit()
+        )
+
+    steps1 = latest_step()
+    # same max_epoch: the epoch is done — a resumed run must NOT replay it
     train_main(args + ["--restore"])
-    steps2 = max(
-        int(d) for d in os.listdir(os.path.join(log_dir, "ckpt")) if d.isdigit()
-    )
-    assert steps2 > steps1
+    assert latest_step() == steps1
+    # raised max_epoch: exactly one more epoch's worth of steps
+    train_main(args + ["--restore", "--set", "train.max_epoch=2"])
+    assert latest_step() == 2 * steps1
 
 
 def test_distill_cli(cli_root, tmp_path):
@@ -122,14 +126,17 @@ def test_distill_cli(cli_root, tmp_path):
         "train.max_epoch=1", "train.mining_start_epoch=99",
         "train.checkpoint_every_steps=1000000",
     ]
-    args = ["--dataset_root", cli_root, "--log_dir", teacher_dir, "--synthetic"]
+    args = ["--dataset_root", cli_root, "--log_dir", teacher_dir]
     for s in sets:
         args += ["--set", s]
     train_main(args)
 
     student_dir = str(tmp_path / "student")
     dargs = ["--dataset_root", cli_root, "--teacher_log_dir", teacher_dir,
-             "--log_dir", student_dir, "--synthetic",
+             "--log_dir", student_dir,
+             "--set", "data.num_points=128",
+             "--set", "data.num_negatives=3",
+             "--set", "data.num_positives=1",
              "--set", "model.proxyconv_channels=4,4",
              "--set", "model.lift_channels=8,16",
              "--set", "model.feature_dim=16",

@@ -86,10 +86,13 @@ def test_place_index_with_mesh(rng, tiny_model_cfg, mesh8):
     np.testing.assert_array_equal(ids_sharded, ids_plain)
 
 
-def test_from_checkpoint(synthetic_root, tmp_path):
+def test_from_checkpoint(tmp_path):
     """PlaceIndex.from_checkpoint: the full serving bootstrap path."""
     from epcnet_tpu.cli.train import main as train_main
 
+    # own dataset root: --synthetic REGENERATES the dataset, which must not
+    # mutate the shared session synthetic_root fixture
+    synthetic_root = str(tmp_path / "ds")
     log_dir = str(tmp_path / "log")
     sets = [
         "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
