@@ -5,6 +5,8 @@ _refine.py and generate_test_sets.py [LINEAGE; SURVEY.md §3.3], folded into
 one driver:
 
   python -m epcnet_tpu.cli.generate_tuples --dataset_root D --mode baseline
+  python -m epcnet_tpu.cli.generate_tuples --dataset_root D --mode refine \
+      --runs_subdirs oxford university residential business
   python -m epcnet_tpu.cli.generate_tuples --dataset_root D --mode test
   python -m epcnet_tpu.cli.generate_tuples --dataset_root D --synthetic  # fixtures
 """
@@ -28,8 +30,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
     ap.add_argument("--runs_subdir", default="oxford")
-    ap.add_argument("--pointcloud_dir", default="pointcloud_20m_10overlap")
-    ap.add_argument("--csv_name", default="pointcloud_locations_20m_10overlap.csv")
+    ap.add_argument(
+        "--runs_subdirs", nargs="*", default=None,
+        help="refine mode: region subdirs merged into ONE training set "
+        "(e.g. oxford university residential business); default: runs_subdir",
+    )
+    # None = auto-detect per run (oxford uses pointcloud_20m_10overlap*,
+    # in-house regions pointcloud_25m_* — scan_runs handles both)
+    ap.add_argument("--pointcloud_dir", default=None)
+    ap.add_argument("--csv_name", default=None)
     ap.add_argument("--mode", choices=["baseline", "refine", "test"], default="baseline")
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--positive_radius", type=float, default=10.0)
@@ -54,14 +63,29 @@ def main(argv=None):
             args.num_points, args.runs_subdir, args.pointcloud_dir, args.csv_name,
         )
     out_dir = args.output_dir or args.dataset_root
-    df = scan_runs(args.dataset_root, args.runs_subdir, args.pointcloud_dir, args.csv_name)
+    if args.mode == "refine":
+        # Refine protocol [LINEAGE: generate_training_tuples_refine.py;
+        # SURVEY.md §2.1 P2]: merge the in-house regions' runs with the
+        # baseline region into ONE training set. Held-out rectangles still
+        # exclude training submaps (they only clip coords that fall inside
+        # them, so off-Oxford regions pass through untouched).
+        import pandas as pd
+
+        subdirs = args.runs_subdirs or [args.runs_subdir]
+        df = pd.concat(
+            [
+                scan_runs(args.dataset_root, sd, args.pointcloud_dir, args.csv_name)
+                for sd in subdirs
+            ],
+            ignore_index=True,
+        )
+    else:
+        df = scan_runs(args.dataset_root, args.runs_subdir, args.pointcloud_dir, args.csv_name)
 
     if args.mode in ("baseline", "refine"):
-        # refine = baseline + in-house runs in training; with a single
-        # runs_subdir both reduce to the same scan, matching reference flags.
         tt = construct_query_dict(
             df, args.positive_radius, args.negative_radius,
-            exclude_test_regions=(args.mode == "baseline"),
+            exclude_test_regions=True,
         )
         path = os.path.join(out_dir, f"training_queries_{args.mode}.pickle")
         save_pickle(tt.queries, path)

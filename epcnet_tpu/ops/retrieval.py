@@ -91,6 +91,89 @@ def sharded_topk_neighbors(
     return fn(q, db)
 
 
+def ring_knn_points(
+    x: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "db",
+):
+    """Ring-sharded kNN over the POINT axis (SURVEY.md §5.7): the spatial
+    kNN graph of ONE huge submap whose points do not fit a single device.
+
+    The points are sharded over ``axis``; each device keeps its point shard's
+    queries and running top-k resident while the CANDIDATE blocks rotate
+    around the ICI ring via ``lax.ppermute`` (ring attention's schedule
+    applied to the kNN graph build). Per hop each device computes its
+    [N/ndev, N/ndev] exact fp32 distance block and merges the block top-k
+    into the running lists; after ndev hops every shard holds the global kNN
+    of its own points. Peak memory is O((N/ndev)^2) per device and per-hop
+    traffic is the [N/ndev, D] block — the full N^2 matrix never exists.
+
+    Args:
+      x: [N, D] point coordinates (one submap), D small.
+      k: neighbours per point (self included at distance 0, as in knn_jnp).
+
+    Returns:
+      (idx [N, k] int32 GLOBAL point ids, sqdist [N, k] fp32), sharded over
+      ``axis`` on the row axis. Tie-breaking: equal distances prefer the
+      earlier-merged block; within a block, lax.top_k order. (The oracle
+      breaks ties by lowest index — identical for tie-free inputs.)
+    """
+    ndev = mesh.shape[axis]
+    n, d_in = x.shape
+    npad = -(-n // ndev) * ndev
+    nl = npad // ndev
+    if k > nl:
+        raise ValueError(f"k={k} exceeds points-per-shard {nl}")
+    xp = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, 0)),
+                 constant_values=1e6)
+
+    def cross_sqdist(q, c):
+        # per-coordinate diff^2 accumulation: exact fp32, same order as the
+        # oracle's pairwise_sqdist at small D (ops/knn.py kernel does the same)
+        d = jnp.zeros((q.shape[0], c.shape[0]), jnp.float32)
+        for i in range(d_in):
+            diff = q[:, i : i + 1] - c[None, :, i]
+            d = d + diff * diff
+        return d
+
+    def local(xs):
+        my = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+        def hop(h, carry):
+            blk, best_idx, best_dist = carry
+            src = jax.lax.rem(my - h + ndev, ndev)  # block's origin device
+            d = cross_sqdist(xs, blk)  # [nl, nl]
+            neg, pos = jax.lax.top_k(-d, k)
+            gidx = (pos + src * nl).astype(jnp.int32)
+            cat_dist = jnp.concatenate([best_dist, -neg], axis=-1)  # [nl, 2k]
+            cat_idx = jnp.concatenate([best_idx, gidx], axis=-1)
+            mneg, mpos = jax.lax.top_k(-cat_dist, k)
+            best_idx = jnp.take_along_axis(cat_idx, mpos, axis=-1)
+            blk = jax.lax.ppermute(blk, axis, perm)
+            return blk, best_idx, -mneg
+
+        init = (
+            xs,
+            jnp.zeros((nl, k), jnp.int32),
+            jnp.full((nl, k), jnp.inf, jnp.float32),
+        )
+        _, idx, dist = jax.lax.fori_loop(0, ndev, hop, init)
+        return idx, dist
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
+    idx, dist = fn(xp)
+    return idx[:n], dist[:n]
+
+
 def ring_topk_neighbors(
     queries: jnp.ndarray,
     database: jnp.ndarray,

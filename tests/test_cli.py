@@ -34,6 +34,61 @@ def test_generate_tuples_cli(cli_root, tmp_path):
     assert len(db) == 2
 
 
+@pytest.fixture(scope="module")
+def multiregion_root(tmp_path_factory):
+    """Oxford-style region + an in-house-style region with the
+    pointcloud_25m_* layout (SURVEY.md §2.1 P2/P3 auto-detect path)."""
+    root = str(tmp_path_factory.mktemp("multiregion_ds"))
+    from epcnet_tpu.data.synthetic import generate_synthetic_dataset
+
+    generate_synthetic_dataset(root, num_runs=2, submaps_per_run=15,
+                               num_points=128, runs_subdir="oxford")
+    generate_synthetic_dataset(
+        root, num_runs=2, submaps_per_run=12, num_points=128,
+        runs_subdir="university", pointcloud_dir="pointcloud_25m_25overlap",
+        csv_name="pointcloud_locations_25m_25overlap.csv", world_seed=11,
+        origin=(5_900_000.0, 700_000.0),  # a separate world, no cross-region positives
+    )
+    return root
+
+
+def test_refine_mode_merges_regions(multiregion_root, tmp_path):
+    """--mode refine merges several region subdirs into ONE training set."""
+    from epcnet_tpu.cli.generate_tuples import main
+    from epcnet_tpu.data.tuples import load_pickle
+
+    out = str(tmp_path)
+    main(["--dataset_root", multiregion_root, "--mode", "refine",
+          "--runs_subdirs", "oxford", "university",
+          "--output_dir", out, "--num_points", "128"])
+    tq = load_pickle(os.path.join(out, "training_queries_refine.pickle"))
+    assert len(tq) == 2 * 15 + 2 * 12  # every submap of both regions
+    subdirs = {v["query"].split(os.sep)[0] for v in tq.values()}
+    assert subdirs == {"oxford", "university"}
+    # merged KDTree: positives/negatives may cross regions only if close —
+    # the two worlds are far apart, so no cross-region positives
+    for v in tq.values():
+        region = v["query"].split(os.sep)[0]
+        for p in v["positives"]:
+            assert tq[p]["query"].split(os.sep)[0] == region
+
+
+def test_inhouse_eval_layout(multiregion_root, tmp_path):
+    """pointcloud_25m_* layouts are auto-detected for test-set generation."""
+    from epcnet_tpu.cli.generate_tuples import main
+    from epcnet_tpu.data.tuples import load_pickle
+
+    out = str(tmp_path)
+    main(["--dataset_root", multiregion_root, "--mode", "test",
+          "--runs_subdir", "university", "--output_dir", out,
+          "--num_points", "128"])
+    db = load_pickle(os.path.join(out, "university_evaluation_database.pickle"))
+    q = load_pickle(os.path.join(out, "university_evaluation_query.pickle"))
+    assert [len(d) for d in db] == [12, 12]
+    assert [len(x) for x in q] == [12, 12]
+    assert all("pointcloud_25m_25overlap" in e["query"] for e in db[0].values())
+
+
 def test_train_then_evaluate_cli(cli_root, tmp_path):
     from epcnet_tpu.cli.evaluate import main as eval_main
     from epcnet_tpu.cli.train import main as train_main

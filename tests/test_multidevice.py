@@ -92,6 +92,33 @@ def test_ring_topk_matches_single(rng, mesh8):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
 
 
+def test_ring_knn_points_matches_oracle(rng, mesh8):
+    """Point-axis ring-sharded kNN (SURVEY.md §5.7): one submap's spatial
+    kNN graph built with points sharded 8 ways must equal the single-device
+    oracle — the N^2 distance matrix never exists on any device."""
+    from epcnet_tpu.ops.knn import knn_jnp
+    from epcnet_tpu.ops.retrieval import ring_knn_points
+
+    x = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+    i1, d1 = knn_jnp(x[None], 10, return_dists=True)
+    i2, d2 = ring_knn_points(x, 10, mesh8)
+    np.testing.assert_array_equal(np.asarray(i1[0]), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1[0]), np.asarray(d2), atol=1e-6)
+
+
+def test_ring_knn_points_ragged(rng, mesh8):
+    """Point count not divisible by the device count: padding must neither
+    corrupt the graph nor leak padded ids."""
+    from epcnet_tpu.ops.knn import knn_jnp
+    from epcnet_tpu.ops.retrieval import ring_knn_points
+
+    x = jnp.asarray(rng.uniform(-1, 1, (517, 3)).astype(np.float32))
+    i1, _ = knn_jnp(x[None], 6, return_dists=True)
+    i2, d2 = ring_knn_points(x, 6, mesh8)
+    np.testing.assert_array_equal(np.asarray(i1[0]), np.asarray(i2))
+    assert int(np.asarray(i2).max()) < 517
+
+
 def test_trainer_with_mesh(synthetic_root, tiny_model_cfg):
     """Trainer's mesh path: DP-sharded batches + replicated state on the
     8-device CPU mesh, including a mining refresh with sharded embed."""
