@@ -107,3 +107,33 @@ def test_knn_adjacency_row_sums(rng):
     _, adj = knn_with_adjacency_pallas(x, 10)
     sums = np.asarray(adj, np.float32).sum(-1)
     np.testing.assert_array_equal(sums, 10.0)  # 0/1 indicator: K per row
+
+
+def test_adjacency_only_threshold_kernel_exact(rng):
+    """The adjacency-ONLY kernel (the model path: value-rounds + threshold +
+    adaptive trim) must match the oracle top-k SET exactly, including the
+    oracle's lowest-index tie-break — on random data, duplicated points
+    (distance-0 ties), and full degeneracy (all points identical)."""
+    from epcnet_tpu.ops.adjacency import mean_adjacency
+    from epcnet_tpu.ops.knn import knn_with_adjacency_pallas
+
+    k = 7
+
+    def oracle(x):
+        return np.asarray(
+            (mean_adjacency(knn_jnp(x, k), x.shape[-2], dtype=jnp.float32) * k)
+        ).astype(np.int8)
+
+    cases = {}
+    cases["random"] = rng.randn(2, 200, 3).astype(np.float32)
+    dup = rng.randn(1, 160, 3).astype(np.float32)
+    dup[0, 40:60] = dup[0, 5]  # 21 identical points: k-boundary ties abound
+    cases["duplicates"] = dup
+    cases["degenerate"] = np.ones((1, 64, 3), np.float32)
+
+    for name, xn in cases.items():
+        x = jnp.asarray(xn)
+        _, adj = knn_with_adjacency_pallas(x, k, with_idx=False)
+        got = np.asarray(adj)
+        assert np.array_equal(got, oracle(x)), name
+        np.testing.assert_array_equal(got.sum(-1), k)
