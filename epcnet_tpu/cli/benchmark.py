@@ -28,7 +28,7 @@ def main(argv=None):
     from epcnet_tpu.models import get_model
     from epcnet_tpu.ops.knn import knn_jnp, knn_pallas
     from epcnet_tpu.ops.retrieval import topk_neighbors
-    from epcnet_tpu.ops.vlad import vlad_aggregate_jnp, vlad_aggregate_pallas
+    from epcnet_tpu.ops.vlad import vlad_aggregate_jnp
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -58,10 +58,12 @@ def main(argv=None):
     c = jnp.asarray(rng.standard_normal((64, 1024)), jnp.float32)
     jit_vlad = jax.jit(lambda f, lg, c: vlad_aggregate_jnp(f, lg, c))
     out["vlad_xla_ms"] = round(_timeit(lambda: jit_vlad(f, lg, c), args.iters) * 1e3, 3)
-    if on_tpu:
-        out["vlad_pallas_ms"] = round(
-            _timeit(lambda: vlad_aggregate_pallas(f, lg, c), args.iters) * 1e3, 3
-        )
+    jit_vlad_fast = jax.jit(
+        lambda f, lg, c: vlad_aggregate_jnp(f, lg, c, precision="default")
+    )
+    out["vlad_xla_bf16acc_ms"] = round(
+        _timeit(lambda: jit_vlad_fast(f, lg, c), args.iters) * 1e3, 3
+    )
 
     # end-to-end embed: wall (includes ~35ms tunnel dispatch on axon) AND
     # device-true via in-jit scan delta (see bench.py for the method).
@@ -87,9 +89,14 @@ def main(argv=None):
     f_hi = jax.jit(lambda v, p: embed_chunks(v, p, c_hi))
     t_lo = _timeit(lambda: f_lo(variables, x), 5)
     t_hi = _timeit(lambda: f_hi(variables, x), 5)
-    per_batch = max((t_hi - t_lo) / (c_hi - c_lo), 1e-9)
-    out["embed_device_ms"] = round(per_batch * 1e3, 3)
-    out["submaps_per_sec_device"] = round(b / per_batch, 2)
+    delta = t_hi - t_lo
+    if delta > 3e-4:  # below ~0.3ms the delta is tunnel/measurement noise
+        per_batch = delta / (c_hi - c_lo)
+        out["embed_device_ms"] = round(per_batch * 1e3, 3)
+        out["submaps_per_sec_device"] = round(b / per_batch, 2)
+    else:
+        out["embed_device_ms"] = None  # too fast to resolve at this shape
+        out["submaps_per_sec_device"] = None
 
     # retrieval
     db = jnp.asarray(rng.standard_normal((args.db_size, 256)), jnp.float32)

@@ -44,6 +44,10 @@ class ModelConfig:
     # Numerics:
     compute_dtype: str = "bfloat16"  # backbone matmul dtype (MXU)
     # distances + descriptor/L2-norm path stay fp32 (SURVEY.md §7.8)
+    # VLAD accumulation precision: "highest" = fp32-exact (parity default);
+    # "default" = single-pass MXU bf16 accumulation (~6x fewer MXU passes,
+    # ~1e-3 relative descriptor drift) — an opt-in deployment knob.
+    vlad_precision: str = "highest"
     use_pallas: bool = True  # swap in Pallas kernels (falls back off-TPU)
     bn_momentum_final: float = 0.99  # BN "decay" upper clamp, reference-style
 

@@ -40,11 +40,11 @@ class GVLADHead(nn.Module):
         centroids = self.param(
             "centroids", nn.initializers.normal(1.0 / jnp.sqrt(d)), (c, d), jnp.float32
         )
-        # Measured on v5e: XLA's fused softmax+matmul beats the Pallas VLAD
-        # kernel (28.8 vs 42.6 ms wall standalone — docs/KERNELS.md), so the
-        # model always takes the XLA path; the kernel stays available via
-        # ops.vlad_aggregate(impl="pallas") for benchmarking.
-        v = vlad_aggregate(features, logits, centroids, impl="jnp")  # [B, C*D]
+        # XLA's fused softmax+matmul beat a hand-written Pallas VLAD kernel
+        # on v5e (docs/KERNELS.md), so this is always the XLA path.
+        v = vlad_aggregate(
+            features, logits, centroids, precision=cfg.vlad_precision
+        )  # [B, C*D]
 
         # Grouped FC (the "G" of G-VLAD).
         g = cfg.vlad_groups

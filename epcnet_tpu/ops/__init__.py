@@ -8,7 +8,7 @@ tests; `impl="auto"` picks Pallas on TPU and jnp elsewhere.
 from epcnet_tpu.ops.pairwise import pairwise_sqdist
 from epcnet_tpu.ops.knn import knn, knn_jnp, knn_pallas, knn_adjacency, knn_with_adjacency_pallas
 from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean
-from epcnet_tpu.ops.vlad import vlad_aggregate, vlad_aggregate_jnp, vlad_aggregate_pallas
+from epcnet_tpu.ops.vlad import vlad_aggregate, vlad_aggregate_jnp
 from epcnet_tpu.ops.sampling import (
     farthest_point_sample,
     gather_point,
@@ -30,7 +30,6 @@ __all__ = [
     "neighbor_mean",
     "vlad_aggregate",
     "vlad_aggregate_jnp",
-    "vlad_aggregate_pallas",
     "farthest_point_sample",
     "gather_point",
     "ball_query",

@@ -43,31 +43,36 @@ class MiningCache:
 
     def refresh(self, params, batch_stats, sharding=None) -> None:
         """Re-embed every training submap (the reference's get_latent_vectors
-        sweep). Pads the tail batch so one compiled shape serves the sweep."""
+        sweep). Pads the tail batch so one compiled shape serves the sweep.
+
+        The sweep stays DEVICE-RESIDENT (SURVEY.md §7.4's Amdahl warning):
+        chunk embeddings are enqueued back-to-back without per-chunk host
+        syncs — file IO for chunk i+1 overlaps device compute of chunk i —
+        and the [num_tuples, D] result lands on host in ONE transfer at the
+        end (a few MB; the loader's negative sampler consumes it there).
+        """
         n = len(self.tuples.queries)
         ids = list(range(n))
-        chunks = []
+        device_chunks = []
         bs = self.batch_size
-        buf = np.zeros((bs, self.data_cfg.num_points, 3), np.float32)
         for s in range(0, n, bs):
             batch_ids = ids[s : s + bs]
             files = [self.tuples.queries[i]["query"] for i in batch_ids]
-            # native GIL-free parallel load into the reused buffer
+            # native GIL-free parallel load; fresh buffer per chunk — the
+            # previous chunk's device_put may still be in flight
+            buf = np.zeros((bs, self.data_cfg.num_points, 3), np.float32)
             load_pc_files_native(
                 files,
                 self.data_cfg.dataset_root,
                 self.data_cfg.num_points,
                 out=buf[: len(batch_ids)],
             )
-            if len(batch_ids) < bs:
-                buf[len(batch_ids):] = 0.0
-            pts = buf
-            x = jnp.asarray(pts)
+            x = jnp.asarray(buf)
             if sharding is not None:
                 x = jax.device_put(x, sharding)
-            d = np.asarray(self.embed_fn(params, batch_stats, x))
-            chunks.append(d[: len(batch_ids)])
-        self.latents = np.concatenate(chunks, axis=0)
+            device_chunks.append(self.embed_fn(params, batch_stats, x))
+        all_latents = jnp.concatenate(device_chunks, axis=0)[:n]
+        self.latents = np.asarray(all_latents)  # single host transfer
 
     def hard_negatives(self, query_idx: int) -> list[int] | None:
         """Hardest negatives for a query: its cached-latent nearest negatives

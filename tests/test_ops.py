@@ -17,7 +17,6 @@ from epcnet_tpu.ops import (
     three_nn,
     topk_neighbors,
     vlad_aggregate_jnp,
-    vlad_aggregate_pallas,
 )
 from epcnet_tpu.ops.knn import knn_jnp
 
@@ -39,13 +38,15 @@ def test_neighbor_mean_matmul_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(m_mat), np.asarray(m_gat), atol=1e-4)
 
 
-def test_vlad_pallas_matches_oracle(rng):
+def test_vlad_precision_modes(rng):
+    """The opt-in bf16-accumulation mode must stay close to the fp32-exact
+    default (the Pallas VLAD kernel was removed after losing to XLA)."""
     f = jnp.asarray(rng.randn(2, 100, 32).astype(np.float32))
     lg = jnp.asarray(rng.randn(2, 100, 8).astype(np.float32))
     c = jnp.asarray(rng.randn(8, 32).astype(np.float32))
     v1 = vlad_aggregate_jnp(f, lg, c)
-    v2 = vlad_aggregate_pallas(f, lg, c, tile_n=64)  # pads 100 -> 128
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    v2 = vlad_aggregate_jnp(f, lg, c, precision="default")
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=5e-3)
     # output is L2-normalized
     np.testing.assert_allclose(np.linalg.norm(np.asarray(v1), axis=-1), 1.0, atol=1e-5)
 
