@@ -58,9 +58,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.synthetic:
+        # the scan flags default to None (auto-detect); the GENERATOR needs
+        # concrete names, so fall back to the oxford-style defaults
         generate_synthetic_dataset(
             args.dataset_root, args.synthetic_runs, args.synthetic_submaps,
-            args.num_points, args.runs_subdir, args.pointcloud_dir, args.csv_name,
+            args.num_points, args.runs_subdir,
+            args.pointcloud_dir or "pointcloud_20m_10overlap",
+            args.csv_name or "pointcloud_locations_20m_10overlap.csv",
         )
     out_dir = args.output_dir or args.dataset_root
     if args.mode == "refine":
