@@ -128,6 +128,12 @@ class TrainConfig:
     mining_refresh_steps: int = 700  # refresh the latent cache every N steps
     hard_neg_per_tuple: int = 10  # hardest negs sampled from cache
     sampled_neg_pool: int = 4000
+    # Steps fused into ONE device dispatch via lax.scan (train/step.py
+    # build_multi_train_step): amortizes per-dispatch host overhead; results
+    # are bit-identical to steps_per_dispatch=1. Mining/log/checkpoint
+    # cadences fire on boundary CROSSINGS, so they are honored at dispatch
+    # granularity.
+    steps_per_dispatch: int = 1
     # Checkpoint / metrics:
     checkpoint_every_steps: int = 1000
     keep_checkpoints: int = 3

@@ -24,8 +24,14 @@ from epcnet_tpu.data.loader import TupleLoader
 from epcnet_tpu.data.tuples import TrainingTuples
 from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.train.mining import MiningCache
+import numpy as np
+
 from epcnet_tpu.train.state import TrainState, create_train_state
-from epcnet_tpu.train.step import build_embed_fn, build_train_step
+from epcnet_tpu.train.step import (
+    build_embed_fn,
+    build_multi_train_step,
+    build_train_step,
+)
 from epcnet_tpu.utils.logging import MetricsLogger, log_string
 from epcnet_tpu.utils.profiling import profile_region
 
@@ -42,6 +48,11 @@ class Trainer:
         self.tuples = tuples
         self.mesh = mesh
         self.step_fn = build_train_step(cfg.model, cfg.train)
+        self.multi_step_fn = (
+            build_multi_train_step(cfg.model, cfg.train)
+            if cfg.train.steps_per_dispatch > 1
+            else None
+        )
         self.embed_fn = build_embed_fn(cfg.model)
         self.state: TrainState = create_train_state(cfg.model, cfg.train)
         self.loader = TupleLoader(
@@ -63,18 +74,36 @@ class Trainer:
             self._repl = None
 
     # ------------------------------------------------------------------
-    def _device_batch(self, batch: dict) -> dict:
+    def _device_batch(self, batch: dict, stacked: bool = False) -> dict:
         if self._batch_shard is None:
             return {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
         # device_put straight from host numpy with the target sharding —
-        # no intermediate single-device copy.
+        # no intermediate single-device copy. For a [S, B, ...] multi-step
+        # stack the DP axis is axis 1 (axis 0 is the scan axis).
+        lead = (None, "data") if stacked else ("data",)
         return {
             k: jax.device_put(
-                v, NamedSharding(self.mesh, P("data", *[None] * (v.ndim - 1)))
+                v,
+                NamedSharding(self.mesh, P(*lead, *[None] * (v.ndim - len(lead)))),
             )
             for k, v in batch.items()
             if k != "ids"
         }
+
+    def _dispatch(self, batches: list) -> dict:
+        """Run len(batches) train steps in ONE device dispatch."""
+        if len(batches) == 1:
+            self.state, m = self.step_fn(self.state, self._device_batch(batches[0]))
+            return m
+        stacked = {
+            k: np.stack([b[k] for b in batches])
+            for k in batches[0]
+            if k != "ids"
+        }
+        self.state, m = self.multi_step_fn(
+            self.state, self._device_batch(stacked, stacked=True)
+        )
+        return m
 
     def maybe_restore(self) -> int:
         if self.ckpt is not None:
@@ -120,24 +149,26 @@ class Trainer:
             n_steps = 0
             m = {"loss": float("nan")}  # stays if the epoch yields no batches
             t_epoch = time.time()
-            for batch in self.loader.epoch(epoch):
-                if skip > 0:
-                    skip -= 1  # consumed before the restart — replay past it
-                    continue
-                with profile_region("train_step"):
-                    dev_batch = self._device_batch(batch)
-                    self.state, m = self.step_fn(self.state, dev_batch)
-                n_steps += 1
+            s_per = max(1, cfg.train.steps_per_dispatch)
+
+            def crossed(prev: int, cur: int, every: int) -> bool:
+                # a multiple of `every` lies in (prev, cur] — the dispatch-
+                # granularity generalization of `cur % every == 0`
+                return cur // every > prev // every
+
+            def post_dispatch(prev_step: int, metrics_m: dict) -> None:
+                nonlocal m
+                m = metrics_m
                 step = int(self.state.step)
                 if (
                     epoch >= cfg.train.mining_start_epoch
-                    and step % cfg.train.mining_refresh_steps == 0
+                    and crossed(prev_step, step, cfg.train.mining_refresh_steps)
                 ):
                     with profile_region("mining_refresh"):
                         self.mining.refresh(
                             self.state.params, self.state.batch_stats, self._batch_shard
                         )
-                if step % cfg.train.log_every_steps == 0:
+                if crossed(prev_step, step, cfg.train.log_every_steps):
                     dt = time.time() - t_epoch
                     tput = (
                         n_steps
@@ -148,8 +179,30 @@ class Trainer:
                     self.metrics.write(
                         step, m, epoch=epoch, submaps_per_sec=round(tput, 2)
                     )
-                if self.ckpt is not None and step % cfg.train.checkpoint_every_steps == 0:
+                if self.ckpt is not None and crossed(
+                    prev_step, step, cfg.train.checkpoint_every_steps
+                ):
                     self.ckpt.save(self.state)
+
+            pending: list = []
+            for batch in self.loader.epoch(epoch):
+                if skip > 0:
+                    skip -= 1  # consumed before the restart — replay past it
+                    continue
+                pending.append(batch)
+                if len(pending) == s_per:
+                    prev = int(self.state.step)
+                    with profile_region("train_step"):
+                        mm = self._dispatch(pending)
+                    n_steps += len(pending)
+                    pending = []
+                    post_dispatch(prev, mm)
+            for batch in pending:  # epoch-tail remainder: single-step shape
+                prev = int(self.state.step)
+                with profile_region("train_step"):
+                    mm = self._dispatch([batch])
+                n_steps += 1
+                post_dispatch(prev, mm)
             log_string(
                 f"epoch {epoch}: {n_steps} steps, loss={float(m['loss']):.4f}, "
                 f"{time.time() - t_epoch:.1f}s"

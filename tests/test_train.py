@@ -184,6 +184,26 @@ def test_trainer_midepoch_resume(synthetic_root, tiny_model_cfg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_multi_step_dispatch_equivalence(synthetic_root, tiny_model_cfg):
+    """steps_per_dispatch=S (one lax.scan dispatch per S batches) must give
+    bit-identical parameters to S single-step dispatches, including an
+    epoch-tail remainder that doesn't fill a dispatch."""
+    tt = construct_query_dict(scan_runs(synthetic_root), exclude_test_regions=False)
+
+    def run(s):
+        cfg = _exp_cfg(synthetic_root, tiny_model_cfg, max_epoch=1,
+                       steps_per_dispatch=s)
+        return Trainer(cfg, tt, checkpoints=False).train()
+
+    s1 = run(1)
+    s4 = run(4)  # 45 usable steps -> 11 full dispatches + 1 remainder
+    assert int(s1.step) == int(s4.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s4.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_checkpoint_roundtrip(synthetic_root, tiny_model_cfg):
     from epcnet_tpu.train.checkpoint import CheckpointManager
 
