@@ -10,16 +10,32 @@ queries at low latency. This module provides that as a small library:
   ids, dists = service.query(points_batch, k=25)       # embed + retrieve
   service.save(path) / PlaceIndex.load(path, ...)      # persistence
 
+  sched = QueryScheduler(service, k=25)                # concurrent serving
+  fut = sched.submit(points_one_submap)                # micro-batched
+  ids, dists = fut.result()
+
 TPU mapping: embedding runs the jitted model at a fixed batch shape (one
 compiled program, padded tail); retrieval is the exact MXU top-k
 (ops/retrieval.py), switching to the ICI-sharded path automatically when a
 mesh with a "db" axis is supplied (BASELINE config #5). The DB grows in
 fixed-size device-resident blocks so adds never recompile.
+
+Concurrency: PlaceIndex is thread-safe for interleaved add/query — a lock
+guards the host bookkeeping while the heavy device work runs on immutable
+snapshots outside it. The DB is append-only, so result ids stay valid
+across concurrent adds. QueryScheduler aggregates concurrent single-submap
+queries into one padded device batch (the classic dynamic-batching serving
+front-end): latency-bound callers share MXU dispatches instead of queueing
+behind each other.
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
+import time
+from concurrent.futures import Future
 from typing import Sequence
 
 import numpy as np
@@ -55,6 +71,7 @@ class PlaceIndex:
         self._db = np.zeros((0, descriptor_dim), np.float32)
         self._meta: list = []
         self._dev_db = None  # cached padded device copy, invalidated on add
+        self._lock = threading.RLock()  # guards _db/_meta/_dev_db bookkeeping
 
     # ------------------------------------------------------------------
     @classmethod
@@ -99,12 +116,14 @@ class PlaceIndex:
         self.add_descriptors(self.embed(points), metadata)
 
     def add_descriptors(self, desc: np.ndarray, metadata: Sequence | None = None) -> None:
-        self._db = np.concatenate([self._db, desc.astype(np.float32)], axis=0)
-        self._meta.extend(metadata if metadata is not None else [None] * len(desc))
-        self._dev_db = None  # invalidate the device cache
+        with self._lock:
+            self._db = np.concatenate([self._db, desc.astype(np.float32)], axis=0)
+            self._meta.extend(metadata if metadata is not None else [None] * len(desc))
+            self._dev_db = None  # invalidate the device cache
 
     def __len__(self) -> int:
-        return len(self._db)
+        with self._lock:
+            return len(self._db)
 
     # ------------------------------------------------------------------
     def query(self, points: np.ndarray, k: int = 25):
@@ -112,19 +131,23 @@ class PlaceIndex:
         return self.query_descriptors(self.embed(points), k)
 
     def query_descriptors(self, desc: np.ndarray, k: int = 25):
-        if len(self._db) == 0:
-            raise ValueError("empty index")
-        k = min(k, len(self._db))
-        if self._dev_db is None:
-            # Pad the DB to a stable block multiple so repeated queries
-            # against a growing index reuse compiled programs, and cache the
-            # device copy until the next add.
-            rows = -(-len(self._db) // self.block_rows) * self.block_rows
-            db = np.full((rows, self.dim), 1e6, np.float32)
-            db[: len(self._db)] = self._db
-            self._dev_db = jnp.asarray(db)
+        # take a consistent (dev_db, k) snapshot under the lock; the device
+        # compute runs OUTSIDE it on the immutable snapshot, so queries never
+        # serialize behind each other or behind adds
+        with self._lock:
+            if len(self._db) == 0:
+                raise ValueError("empty index")
+            k = min(k, len(self._db))
+            if self._dev_db is None:
+                # Pad the DB to a stable block multiple so repeated queries
+                # against a growing index reuse compiled programs, and cache
+                # the device copy until the next add.
+                rows = -(-len(self._db) // self.block_rows) * self.block_rows
+                db = np.full((rows, self.dim), 1e6, np.float32)
+                db[: len(self._db)] = self._db
+                self._dev_db = jnp.asarray(db)
+            dbj = self._dev_db
         q = jnp.asarray(desc.astype(np.float32))
-        dbj = self._dev_db
         if self.mesh is not None and "db" in self.mesh.shape and self.mesh.shape["db"] > 1:
             idx, dist = sharded_topk_neighbors(q, dbj, k, self.mesh)
         else:
@@ -132,15 +155,83 @@ class PlaceIndex:
         return np.asarray(idx), np.asarray(dist)
 
     def metadata(self, ids) -> list:
-        return [self._meta[int(i)] for i in np.asarray(ids).ravel()]
+        # append-only DB: ids from any earlier query remain valid
+        with self._lock:
+            return [self._meta[int(i)] for i in np.asarray(ids).ravel()]
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(path, db=self._db, meta=np.array(self._meta, dtype=object))
+        with self._lock:
+            db, meta = self._db, np.array(self._meta, dtype=object)
+        np.savez_compressed(path, db=db, meta=meta)
 
     def load_db(self, path: str) -> None:
         data = np.load(path, allow_pickle=True)
-        self._db = data["db"]
-        self._meta = list(data["meta"])
-        self._dev_db = None
+        with self._lock:
+            self._db = data["db"]
+            self._meta = list(data["meta"])
+            self._dev_db = None
+
+
+class QueryScheduler:
+    """Dynamic micro-batching front-end for concurrent queries.
+
+    Callers submit ONE submap each and get a Future; a single worker thread
+    aggregates up to ``max_batch`` pending requests within ``max_wait_ms``
+    and serves them as one padded device batch — concurrent callers share
+    MXU dispatches instead of queueing behind each other (the reference has
+    no serving layer at all; SURVEY.md §3.5).
+    """
+
+    def __init__(
+        self,
+        index: "PlaceIndex",
+        k: int = 25,
+        max_batch: int | None = None,
+        max_wait_ms: float = 2.0,
+    ):
+        self.index = index
+        self.k = k
+        self.max_batch = max_batch or index.embed_batch
+        self._max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, points: np.ndarray) -> Future:
+        """points: [N, 3] one submap -> Future of (ids [k], sqdists [k])."""
+        if self._stop.is_set():
+            raise RuntimeError("scheduler stopped")
+        fut: Future = Future()
+        self._q.put((np.asarray(points), fut))
+        return fut
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                batch = [self._q.get(timeout=0.1)]
+            except queue.Empty:
+                continue
+            deadline = time.perf_counter() + self._max_wait
+            while len(batch) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                pts = np.stack([b[0] for b in batch])
+                ids, dists = self.index.query(pts, self.k)
+                for i, (_, fut) in enumerate(batch):
+                    fut.set_result((ids[i], dists[i]))
+            except Exception as e:  # propagate to every waiting caller
+                for _, fut in batch:
+                    fut.set_exception(e)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)

@@ -86,6 +86,103 @@ def test_place_index_with_mesh(rng, tiny_model_cfg, mesh8):
     np.testing.assert_array_equal(ids_sharded, ids_plain)
 
 
+def test_concurrent_add_and_query(tiny_model_cfg, rng):
+    """Interleaved add/query from many threads: no corruption, ids stay
+    valid (append-only DB), every thread completes."""
+    import threading
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    idx = PlaceIndex(embed, state.params, state.batch_stats,
+                     descriptor_dim=tiny_model_cfg.output_dim,
+                     embed_batch=4, block_rows=32)
+    seed_pts = rng.uniform(-1, 1, (8, 128, 3)).astype(np.float32)
+    idx.add(seed_pts)
+
+    errors = []
+
+    def adder(tid):
+        try:
+            for i in range(5):
+                pts = np.random.default_rng((tid, i)).uniform(
+                    -1, 1, (3, 128, 3)).astype(np.float32)
+                idx.add(pts, metadata=[f"t{tid}_{i}_{j}" for j in range(3)])
+        except Exception as e:
+            errors.append(e)
+
+    def querier(tid):
+        try:
+            for i in range(8):
+                ids, dists = idx.query(seed_pts[:2], k=2)
+                assert ids.shape == (2, 2)
+                assert (np.asarray(ids) >= 0).all()
+                idx.metadata(ids)  # ids valid against current meta
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(3)]
+    threads += [threading.Thread(target=querier, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert len(idx) == 8 + 3 * 5 * 3
+
+
+def test_query_scheduler_batches_and_matches(tiny_model_cfg, rng):
+    """Concurrent single-submap submits return the same answers as direct
+    queries AND actually share device batches (fewer query calls than
+    requests)."""
+    import threading
+
+    from epcnet_tpu.serve import QueryScheduler
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    idx = PlaceIndex(embed, state.params, state.batch_stats,
+                     descriptor_dim=tiny_model_cfg.output_dim,
+                     embed_batch=8, block_rows=32)
+    db_pts = rng.uniform(-1, 1, (12, 128, 3)).astype(np.float32)
+    idx.add(db_pts)
+
+    calls = []
+    real_query = idx.query
+
+    def counting_query(pts, k=25):
+        calls.append(pts.shape[0])
+        return real_query(pts, k)
+
+    idx.query = counting_query
+    sched = QueryScheduler(idx, k=2, max_batch=8, max_wait_ms=50.0)
+    try:
+        queries = db_pts[:10]
+        futs = [None] * len(queries)
+
+        def submit(i):
+            futs[i] = sched.submit(queries[i])
+
+        threads = [threading.Thread(target=submit, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        sched.stop()
+    idx.query = real_query
+
+    ids_direct, dists_direct = idx.query(queries, k=2)
+    for i, (ids, dists) in enumerate(results):
+        np.testing.assert_array_equal(ids, ids_direct[i])
+        np.testing.assert_allclose(dists, dists_direct[i], atol=1e-6)
+    assert sum(calls) == len(queries)
+    assert len(calls) < len(queries)  # micro-batching actually aggregated
+
+
 def test_from_checkpoint(tmp_path):
     """PlaceIndex.from_checkpoint: the full serving bootstrap path."""
     from epcnet_tpu.cli.train import main as train_main
