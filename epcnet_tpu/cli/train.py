@@ -39,6 +39,12 @@ def main(argv=None):
                     help="shard over all available devices (DP)")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--profile_dir", default=None)
+    ap.add_argument(
+        "--eval_every_epochs", type=int, default=0,
+        help="evaluate recall@1 on the dataset's test sets every N epochs and "
+        "retain the BEST checkpoint in <log_dir>/ckpt_best (SURVEY.md §5.3 "
+        "best-recall retention); 0 = off",
+    )
     args = ap.parse_args(argv)
 
     cfg = (
@@ -78,8 +84,44 @@ def main(argv=None):
     if args.restore:
         step = trainer.maybe_restore()
         log_string(f"restored at step {step}")
+
+    on_epoch_end = None
+    if args.eval_every_epochs > 0:
+        from epcnet_tpu.data.tuples import (
+            any_in_test_regions,
+            construct_query_and_database_sets,
+        )
+        from epcnet_tpu.evals import evaluate_region
+        from epcnet_tpu.train.checkpoint import CheckpointManager
+
+        df = scan_runs(cfg.data.dataset_root, cfg.data.runs_subdir)
+        db_sets, q_sets = construct_query_and_database_sets(
+            df, cfg.data.test_positive_radius_m,
+            only_test_regions=any_in_test_regions(df),
+        )
+        best_mgr = CheckpointManager(f"{cfg.log_dir}/ckpt_best", keep=1)
+        best = {"recall": -1.0}
+
+        def on_epoch_end(tr, epoch):
+            if (epoch + 1) % args.eval_every_epochs:
+                return
+            m = evaluate_region(
+                tr.embed_fn, tr.state.params, tr.state.batch_stats,
+                db_sets, q_sets, cfg.data, cfg.eval, mesh,
+            )
+            r1 = float(m["recall_at"][0])
+            tr.metrics.write(int(tr.state.step), {"eval_recall_at_1": r1},
+                             epoch=epoch)
+            log_string(f"epoch {epoch}: eval recall@1={100 * r1:.2f}%")
+            if r1 > best["recall"]:
+                best["recall"] = r1
+                best_mgr.save(tr.state)
+                log_string(f"new best recall@1 -> {cfg.log_dir}/ckpt_best")
+
     with maybe_start_trace(args.profile_dir):
-        trainer.train()
+        trainer.train(on_epoch_end=on_epoch_end)
+    if on_epoch_end is not None:
+        best_mgr.wait()
 
 
 if __name__ == "__main__":

@@ -166,6 +166,35 @@ def test_train_restore_cli(cli_root, tmp_path):
     assert latest_step() == 2 * steps1
 
 
+def test_train_best_recall_retention(cli_root, tmp_path):
+    """--eval_every_epochs evaluates recall@1 during training and retains the
+    best checkpoint in ckpt_best (SURVEY.md §5.3 best-recall retention)."""
+    from epcnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "log_best")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=2", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir,
+            "--eval_every_epochs", "1"]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+    best_steps = [d for d in os.listdir(os.path.join(log_dir, "ckpt_best"))
+                  if d.isdigit()]
+    assert len(best_steps) == 1  # keep=1: only the best survives
+    recs = [json.loads(l) for l in open(os.path.join(log_dir, "train.jsonl"))]
+    evals = [r for r in recs if "eval_recall_at_1" in r]
+    assert len(evals) == 2  # one per epoch
+    assert all(0.0 <= r["eval_recall_at_1"] <= 1.0 for r in evals)
+
+
 def test_distill_cli(cli_root, tmp_path):
     """Teacher train -> distill student end-to-end."""
     from epcnet_tpu.cli.distill import main as distill_main
