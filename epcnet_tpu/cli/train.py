@@ -18,7 +18,11 @@ import jax
 from epcnet_tpu.configs import ExperimentConfig, apply_overrides
 from epcnet_tpu.data.synthetic import generate_synthetic_dataset
 from epcnet_tpu.data.tuples import TrainingTuples, construct_query_dict, load_pickle, scan_runs
-from epcnet_tpu.parallel import make_mesh
+from epcnet_tpu.parallel import (
+    PreemptionGuard,
+    make_multislice_mesh,
+    maybe_initialize_distributed,
+)
 from epcnet_tpu.train import Trainer
 from epcnet_tpu.utils.logging import log_string
 from epcnet_tpu.utils.profiling import maybe_start_trace
@@ -46,6 +50,14 @@ def main(argv=None):
         "best-recall retention); 0 = off",
     )
     args = ap.parse_args(argv)
+
+    # Multi-process (multi-host/slice) bootstrap; no-op single-process.
+    # Configured via EPCNET_COORDINATOR_ADDRESS / _NUM_PROCESSES / _PROCESS_ID.
+    if maybe_initialize_distributed():
+        log_string(
+            f"jax.distributed up: process {jax.process_index()}"
+            f"/{jax.process_count()}"
+        )
 
     cfg = (
         ExperimentConfig.from_json(open(args.config).read())
@@ -75,7 +87,9 @@ def main(argv=None):
         )
     log_string(f"{len(tuples.queries)} training tuples; devices: {jax.devices()}")
 
-    mesh = make_mesh(cfg.mesh) if args.mesh else None
+    # slice-aware mesh: identical to make_mesh on one slice, slice-major
+    # data axis (hierarchical ICI+DCN collectives) on multi-slice pods
+    mesh = make_multislice_mesh(cfg.mesh) if args.mesh else None
     os.makedirs(cfg.log_dir, exist_ok=True)
     with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
@@ -118,8 +132,8 @@ def main(argv=None):
                 best_mgr.save(tr.state)
                 log_string(f"new best recall@1 -> {cfg.log_dir}/ckpt_best")
 
-    with maybe_start_trace(args.profile_dir):
-        trainer.train(on_epoch_end=on_epoch_end)
+    with maybe_start_trace(args.profile_dir), PreemptionGuard() as guard:
+        trainer.train(on_epoch_end=on_epoch_end, should_stop=guard)
     if on_epoch_end is not None:
         best_mgr.wait()
 

@@ -8,5 +8,19 @@ ICI. No custom transport is (or should be) written.
 """
 
 from epcnet_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+from epcnet_tpu.parallel.multislice import (
+    PreemptionGuard,
+    make_multislice_mesh,
+    maybe_initialize_distributed,
+    slice_groups,
+)
 
-__all__ = ["make_mesh", "data_sharding", "replicated"]
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "PreemptionGuard",
+    "make_multislice_mesh",
+    "maybe_initialize_distributed",
+    "slice_groups",
+]

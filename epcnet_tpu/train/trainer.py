@@ -119,13 +119,18 @@ class Trainer:
         self.state = self.state.replace(epoch=e, epoch_start_step=self.state.step)
 
     # ------------------------------------------------------------------
-    def train(self, on_epoch_end=None) -> TrainState:
+    def train(self, on_epoch_end=None, should_stop=None) -> TrainState:
         """Epoch loop. Resume-aware: after ``maybe_restore()`` it re-enters at
         the restored epoch and discards the batches the interrupted epoch had
         already consumed (the loader order is (seed, epoch)-deterministic), so
         a killed-and-restarted run continues the uninterrupted run exactly —
         at epoch boundaries bit-for-bit; mid-epoch the data order realigns
-        while the mining cache is rebuilt from current params."""
+        while the mining cache is rebuilt from current params.
+
+        ``should_stop`` (e.g. a ``parallel.PreemptionGuard``) is polled after
+        every dispatch; when it fires, the loop checkpoints and returns early
+        — a SIGTERM preemption becomes a clean resumable save (SURVEY.md
+        §5.3) instead of a killed step."""
         cfg = self.cfg
         t_start = time.time()
         clouds_per_tuple = (
@@ -184,6 +189,7 @@ class Trainer:
                 ):
                     self.ckpt.save(self.state)
 
+            preempted = False
             pending: list = []
             for batch in self.loader.epoch(epoch):
                 if skip > 0:
@@ -197,12 +203,29 @@ class Trainer:
                     n_steps += len(pending)
                     pending = []
                     post_dispatch(prev, mm)
-            for batch in pending:  # epoch-tail remainder: single-step shape
-                prev = int(self.state.step)
-                with profile_region("train_step"):
-                    mm = self._dispatch([batch])
-                n_steps += 1
-                post_dispatch(prev, mm)
+                    if should_stop is not None and should_stop():
+                        preempted = True
+                        break
+            if not preempted:
+                for batch in pending:  # epoch-tail remainder: single-step shape
+                    prev = int(self.state.step)
+                    with profile_region("train_step"):
+                        mm = self._dispatch([batch])
+                    n_steps += 1
+                    post_dispatch(prev, mm)
+                    if should_stop is not None and should_stop():
+                        preempted = True
+                        break
+            if preempted:
+                step = int(self.state.step)
+                if self.ckpt is not None:
+                    self.ckpt.save(self.state)
+                    self.ckpt.wait()
+                log_string(
+                    f"preemption requested: checkpointed at step {step} "
+                    f"(epoch {epoch}) and stopping — resume with --restore"
+                )
+                return self.state
             log_string(
                 f"epoch {epoch}: {n_steps} steps, loss={float(m['loss']):.4f}, "
                 f"{time.time() - t_epoch:.1f}s"
