@@ -42,12 +42,16 @@ class EPCNet(nn.Module):
         # pass (ops/knn.py knn_with_adjacency_pallas).
         impl = "auto" if cfg.use_pallas else "jnp"
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        _, adj = knn_adjacency(x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False)
+        # with_proxy: layer 0's proxy point (k-nearest coord mean) comes out
+        # of the kNN kernel itself — one fewer [N, N] adjacency read.
+        _, adj, proxy0 = knn_adjacency(
+            x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False, with_proxy=True
+        )
         f = x.astype(dtype)
         scales = []
         for i, ch in enumerate(cfg.proxyconv_channels):
             f = ProxyConv(ch, knn_k=cfg.knn_k, dtype=dtype, name=f"proxyconv_{i}")(
-                f, adj, train, momentum
+                f, adj, train, momentum, proxy=proxy0 if i == 0 else None
             )
             scales.append(f)
 

@@ -84,13 +84,17 @@ class ProxyConv(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, features, adjacency, train: bool, momentum):
-        proxy = neighbor_mean(
-            features,
-            adjacency=adjacency,
-            compute_dtype=self.dtype,
-            adjacency_scale=1.0 / self.knn_k,
-        )
+    def __call__(self, features, adjacency, train: bool, momentum, proxy=None):
+        # ``proxy`` lets the caller supply a precomputed proxy point — layer 0
+        # receives it straight from the fused kNN kernel (ops/knn.py
+        # with_proxy), which skips this layer's [N, N] adjacency HBM read.
+        if proxy is None:
+            proxy = neighbor_mean(
+                features,
+                adjacency=adjacency,
+                compute_dtype=self.dtype,
+                adjacency_scale=1.0 / self.knn_k,
+            )
         h = jnp.concatenate([proxy - features, features], axis=-1)
         h = nn.Dense(self.out_channels, dtype=self.dtype, name="dense")(h)
         h = DynamicBatchNorm(name="bn")(h, not train, momentum)

@@ -65,7 +65,9 @@ def knn_jnp(x: jnp.ndarray, k: int, return_dists: bool = False):
 # ----------------------------------------------------------------------------
 
 
-def _knn_adj_only_kernel(x_ref, xt_ref, adj_ref, *, n: int, k: int, cp_real: int):
+def _knn_adj_only_kernel(
+    x_ref, xt_ref, adj_ref, proxy_ref=None, *, n: int, k: int, cp_real: int
+):
     """Adjacency-only variant: VALUE-only rounds + threshold + adaptive trim.
 
     The model path consumes only the indicator adjacency — a SET, not an
@@ -112,7 +114,22 @@ def _knn_adj_only_kernel(x_ref, xt_ref, adj_ref, *, n: int, k: int, cp_real: int
         return dd, jnp.where(over, c - 1, c)
 
     d_kept, _ = jax.lax.while_loop(cond, body, (d_kept, cnt))
-    adj_ref[0] = jnp.where(d_kept < jnp.inf, 1.0, 0.0).astype(adj_ref.dtype)
+    mask = jnp.where(d_kept < jnp.inf, 1.0, 0.0)
+    adj_ref[0] = mask.astype(adj_ref.dtype)
+    if proxy_ref is not None:
+        # Layer-0 ProxyConv proxy point = mean of the k nearest COORDS —
+        # both operands are already in VMEM, so emitting it here saves the
+        # model one full [N, N] int8 adjacency read from HBM (~0.6 ms at
+        # B=32 x 4096). Same math/precision as the layer path: bf16
+        # operands, fp32 accumulation, post-matmul 1/K scale.
+        p = jax.lax.dot_general(
+            mask.astype(jnp.bfloat16),
+            xt.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(1.0 / k)
+        pad = jnp.zeros((tq, proxy_ref.shape[-1] - p.shape[-1]), jnp.float32)
+        proxy_ref[0] = jnp.concatenate([p, pad], axis=1).astype(proxy_ref.dtype)
 
 
 def _knn_kernel(
@@ -177,12 +194,13 @@ def _knn_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "tile_q", "interpret", "with_adjacency", "cp_real", "adjacency_only"
+        "k", "tile_q", "interpret", "with_adjacency", "cp_real",
+        "adjacency_only", "with_proxy",
     ),
 )
 def _knn_pallas_batched(
     xp, k: int, tile_q: int, interpret: bool, with_adjacency: bool = False,
-    cp_real: int = 3, adjacency_only: bool = False,
+    cp_real: int = 3, adjacency_only: bool = False, with_proxy: bool = False,
 ):
     b, npad, cp = xp.shape
     kpad = max(_LANE, -(-k // _LANE) * _LANE)
@@ -195,15 +213,36 @@ def _knn_pallas_batched(
                      memory_space=pltpu.VMEM),
     ]
     if adjacency_only:
-        return pl.pallas_call(
+        adj_spec = pl.BlockSpec((1, tile_q, npad), lambda bi, qi: (bi, qi, 0),
+                                memory_space=pltpu.VMEM)
+        adj_shape = jax.ShapeDtypeStruct((b, npad, npad), jnp.int8)
+        if not with_proxy:
+            return pl.pallas_call(
+                functools.partial(
+                    _knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real
+                ),
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=adj_spec,
+                out_shape=adj_shape,
+                interpret=interpret,
+            )(xp, xt)
+        adj, proxy = pl.pallas_call(
             functools.partial(_knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real),
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, tile_q, npad), lambda bi, qi: (bi, qi, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.int8),
+            out_specs=[
+                adj_spec,
+                pl.BlockSpec((1, tile_q, _LANE), lambda bi, qi: (bi, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                adj_shape,
+                jax.ShapeDtypeStruct((b, npad, _LANE), jnp.float32),
+            ],
             interpret=interpret,
         )(xp, xt)
+        return adj, proxy
     out_specs = [
         pl.BlockSpec((1, tile_q, kpad), lambda bi, qi: (bi, qi, 0),
                      memory_space=pltpu.VMEM),
@@ -279,6 +318,7 @@ def knn_with_adjacency_pallas(
     tile_q: int = 128,  # narrower than plain kNN: the adj slab shares VMEM
     interpret: bool | None = None,
     with_idx: bool = True,
+    with_proxy: bool = False,
 ):
     """Fused kNN + dense 0/1 indicator adjacency in one kernel pass.
 
@@ -288,7 +328,13 @@ def knn_with_adjacency_pallas(
     extra kernel work; consumers apply the 1/K mean scaling after their A@F
     matmul. Both outputs are non-differentiable structure (stop_gradient),
     exactly as in the reference where the kNN graph is integer indices.
+
+    ``with_proxy=True`` (adjacency-only path) also returns the layer-0
+    proxy point [..., N, D] fp32 — ``(mask @ coords) / k`` computed in-kernel
+    while both operands are VMEM-resident.
     """
+    if with_proxy and with_idx:
+        raise ValueError("with_proxy requires with_idx=False (model path)")
     if interpret is None:
         interpret = not _on_tpu()
     *lead, n, d_in = x.shape
@@ -307,6 +353,14 @@ def knn_with_adjacency_pallas(
     xb = jnp.pad(xb, ((0, 0), (0, 0), (0, _COORD_PAD - d_in)))
     xb = jax.lax.stop_gradient(xb)
     if not with_idx:
+        if with_proxy:
+            adj, proxy = _knn_pallas_batched(
+                xb, k, tile_q, interpret, cp_real=d_in, adjacency_only=True,
+                with_proxy=True,
+            )
+            adj = adj[:, :n, :n].reshape(*lead, n, n)
+            proxy = proxy[:, :n, :d_in].reshape(*lead, n, d_in)
+            return None, jax.lax.stop_gradient(adj), proxy
         adj = _knn_pallas_batched(
             xb, k, tile_q, interpret, cp_real=d_in, adjacency_only=True
         )
@@ -331,18 +385,35 @@ def knn(x: jnp.ndarray, k: int, return_dists: bool = False, impl: str = "auto"):
 
 def knn_adjacency(
     x: jnp.ndarray, k: int, dtype=jnp.bfloat16, impl: str = "auto",
-    with_idx: bool = True,
+    with_idx: bool = True, with_proxy: bool = False,
 ):
     """(idx, dense 0/1 INDICATOR adjacency) with the best backend: the fused
     Pallas kernel (int8 output) on TPU, oracle kNN + compare-build elsewhere.
     Consumers scale by 1/K after their A@F matmul (neighbor_mean).
-    ``with_idx=False`` skips the idx/dist bookkeeping entirely (model path)."""
-    from epcnet_tpu.ops.adjacency import mean_adjacency
+    ``with_idx=False`` skips the idx/dist bookkeeping entirely (model path).
+    ``with_proxy=True`` appends the layer-0 proxy point (k-nearest coord
+    mean, bf16 matmul / fp32 accumulation, cast to ``dtype``) — on TPU it is
+    emitted from inside the kernel, saving one dense [N, N] HBM read."""
+    from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean
 
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "jnp"
     if impl == "pallas":
-        return knn_with_adjacency_pallas(x, k, with_idx=with_idx)
+        out = knn_with_adjacency_pallas(
+            x, k, with_idx=with_idx, with_proxy=with_proxy
+        )
+        if with_proxy:
+            idx, adj, proxy = out
+            return idx, adj, proxy.astype(dtype)
+        return out
     idx = knn_jnp(x, k)
-    indicator = mean_adjacency(idx, x.shape[-2], dtype=jnp.float32) * float(k)
-    return idx, indicator.astype(dtype)
+    indicator = (mean_adjacency(idx, x.shape[-2], dtype=jnp.float32) * float(k)
+                 ).astype(dtype)
+    if with_proxy:
+        # same math as the ProxyConv layer-0 path it replaces
+        proxy = neighbor_mean(
+            x.astype(dtype), adjacency=indicator, compute_dtype=dtype,
+            adjacency_scale=1.0 / k,
+        )
+        return (idx if with_idx else None), indicator, proxy
+    return idx, indicator

@@ -137,3 +137,42 @@ def test_adjacency_only_threshold_kernel_exact(rng):
         got = np.asarray(adj)
         assert np.array_equal(got, oracle(x)), name
         np.testing.assert_array_equal(got.sum(-1), k)
+
+def test_adjacency_kernel_proxy_output(rng):
+    """with_proxy: the kernel-emitted layer-0 proxy (k-nearest coord mean,
+    bf16 matmul / fp32 accumulation) must match the adjacency-matmul path it
+    replaces to bf16 tolerance, and the adjacency must be unchanged."""
+    from epcnet_tpu.ops.adjacency import neighbor_mean
+    from epcnet_tpu.ops.knn import knn_with_adjacency_pallas
+
+    k = 7
+    x = jnp.asarray(rng.randn(2, 200, 3).astype(np.float32))
+    _, adj_plain = knn_with_adjacency_pallas(x, k, with_idx=False)
+    _, adj, proxy = knn_with_adjacency_pallas(x, k, with_idx=False, with_proxy=True)
+    assert proxy.shape == (2, 200, 3) and proxy.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(adj), np.asarray(adj_plain))
+    want = neighbor_mean(
+        x.astype(jnp.bfloat16),
+        adjacency=adj.astype(jnp.bfloat16),
+        compute_dtype=jnp.bfloat16,
+        adjacency_scale=1.0 / k,
+    ).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(proxy), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_knn_adjacency_front_end_proxy(rng):
+    """knn_adjacency(with_proxy=True) jnp branch: proxy equals the ProxyConv
+    layer-0 computation bit-for-bit (golden-descriptor invariance)."""
+    from epcnet_tpu.ops.adjacency import neighbor_mean
+    from epcnet_tpu.ops.knn import knn_adjacency
+
+    x = jnp.asarray(rng.randn(1, 96, 3).astype(np.float32))
+    idx, adj, proxy = knn_adjacency(x, 5, impl="jnp", with_proxy=True)
+    want = neighbor_mean(
+        x.astype(jnp.bfloat16), adjacency=adj, compute_dtype=jnp.bfloat16,
+        adjacency_scale=1.0 / 5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(proxy, np.float32), np.asarray(want, np.float32)
+    )
