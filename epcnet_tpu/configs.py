@@ -49,6 +49,13 @@ class ModelConfig:
     # ~1e-3 relative descriptor drift) — an opt-in deployment knob.
     vlad_precision: str = "highest"
     use_pallas: bool = True  # swap in Pallas kernels (falls back off-TPU)
+    # [N, N] adjacency layout for the ProxyConv neighbour means. "dense"
+    # (and "auto"): int8 indicator — fastest at production shapes on v5e
+    # (the A@F matmuls are partly compute-bound; docs/KERNELS.md). "packed":
+    # 1 bit/entry bit-planes, 8x less HBM — an eval-path opt-in for
+    # memory-capacity-bound shapes (large N / batches); training always
+    # uses dense (autodiff).
+    adjacency_format: str = "auto"
     bn_momentum_final: float = 0.99  # BN "decay" upper clamp, reference-style
 
     def variant(self, **kw: Any) -> "ModelConfig":

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from epcnet_tpu.configs import ModelConfig
 from epcnet_tpu.models.layers import ProxyConv, SharedMLP
 from epcnet_tpu.models.vlad_head import GVLADHead
+from epcnet_tpu.ops.adjacency import packed_neighbor_mean
 from epcnet_tpu.ops.knn import knn_adjacency
 
 
@@ -44,14 +45,32 @@ class EPCNet(nn.Module):
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         # with_proxy: layer 0's proxy point (k-nearest coord mean) comes out
         # of the kNN kernel itself — one fewer [N, N] adjacency read.
+        # Bit-packed adjacency (1 bit/entry, ops/adjacency.py): 8x less HBM
+        # for the adjacency write and each layer's A read — an opt-in for
+        # memory-capacity-bound shapes (large N / big batches). It is NOT
+        # the default: measured same-process at B=32 x 4096 on v5e the dense
+        # int8 path is ~0.5 ms FASTER (12.9 vs 13.4 ms model forward) — the
+        # A@F matmuls are partly compute-bound, so the in-kernel plane
+        # unpack costs more than the saved bytes (docs/KERNELS.md). Eval
+        # path only: the packed consumer has no autodiff rule; training
+        # keeps dense int8, whose matmul gradient XLA derives.
+        packed = cfg.adjacency_format == "packed" and not train
+        fmt = "packed" if packed else "dense"
         _, adj, proxy0 = knn_adjacency(
-            x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False, with_proxy=True
+            x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False,
+            with_proxy=True, fmt=fmt,
         )
         f = x.astype(dtype)
         scales = []
         for i, ch in enumerate(cfg.proxyconv_channels):
+            if i == 0:
+                proxy = proxy0
+            elif packed:
+                proxy = packed_neighbor_mean(f, adj, cfg.knn_k)
+            else:
+                proxy = None  # ProxyConv runs the dense A@F matmul itself
             f = ProxyConv(ch, knn_k=cfg.knn_k, dtype=dtype, name=f"proxyconv_{i}")(
-                f, adj, train, momentum, proxy=proxy0 if i == 0 else None
+                f, adj, train, momentum, proxy=proxy
             )
             scales.append(f)
 

@@ -66,7 +66,8 @@ def knn_jnp(x: jnp.ndarray, k: int, return_dists: bool = False):
 
 
 def _knn_adj_only_kernel(
-    x_ref, xt_ref, adj_ref, proxy_ref=None, *, n: int, k: int, cp_real: int
+    x_ref, xt_ref, adj_ref, proxy_ref=None, *, n: int, k: int, cp_real: int,
+    pack: bool = False,
 ):
     """Adjacency-only variant: VALUE-only rounds + threshold + adaptive trim.
 
@@ -115,7 +116,19 @@ def _knn_adj_only_kernel(
 
     d_kept, _ = jax.lax.while_loop(cond, body, (d_kept, cnt))
     mask = jnp.where(d_kept < jnp.inf, 1.0, 0.0)
-    adj_ref[0] = mask.astype(adj_ref.dtype)
+    if pack:
+        # bit-plane packing (ops/adjacency.py layout): bit j of word w is
+        # column j*W + w, so each plane is a plain lane slice of the mask —
+        # the adjacency leaves the kernel at 1 bit/entry (8x less HBM write
+        # than int8; consumers unpack plane-wise in VMEM).
+        w = n // 32
+        maski = mask.astype(jnp.int32)
+        acc = jnp.zeros((tq, w), jnp.int32)
+        for j in range(32):
+            acc = acc | (maski[:, j * w : (j + 1) * w] << j)
+        adj_ref[0] = acc
+    else:
+        adj_ref[0] = mask.astype(adj_ref.dtype)
     if proxy_ref is not None:
         # Layer-0 ProxyConv proxy point = mean of the k nearest COORDS —
         # both operands are already in VMEM, so emitting it here saves the
@@ -195,12 +208,13 @@ def _knn_kernel(
     jax.jit,
     static_argnames=(
         "k", "tile_q", "interpret", "with_adjacency", "cp_real",
-        "adjacency_only", "with_proxy",
+        "adjacency_only", "with_proxy", "pack",
     ),
 )
 def _knn_pallas_batched(
     xp, k: int, tile_q: int, interpret: bool, with_adjacency: bool = False,
     cp_real: int = 3, adjacency_only: bool = False, with_proxy: bool = False,
+    pack: bool = False,
 ):
     b, npad, cp = xp.shape
     kpad = max(_LANE, -(-k // _LANE) * _LANE)
@@ -213,14 +227,21 @@ def _knn_pallas_batched(
                      memory_space=pltpu.VMEM),
     ]
     if adjacency_only:
-        adj_spec = pl.BlockSpec((1, tile_q, npad), lambda bi, qi: (bi, qi, 0),
-                                memory_space=pltpu.VMEM)
-        adj_shape = jax.ShapeDtypeStruct((b, npad, npad), jnp.int8)
+        if pack:
+            w = npad // 32
+            adj_spec = pl.BlockSpec((1, tile_q, w), lambda bi, qi: (bi, qi, 0),
+                                    memory_space=pltpu.VMEM)
+            adj_shape = jax.ShapeDtypeStruct((b, npad, w), jnp.int32)
+        else:
+            adj_spec = pl.BlockSpec((1, tile_q, npad), lambda bi, qi: (bi, qi, 0),
+                                    memory_space=pltpu.VMEM)
+            adj_shape = jax.ShapeDtypeStruct((b, npad, npad), jnp.int8)
+        kern = functools.partial(
+            _knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real, pack=pack
+        )
         if not with_proxy:
             return pl.pallas_call(
-                functools.partial(
-                    _knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real
-                ),
+                kern,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=adj_spec,
@@ -228,7 +249,7 @@ def _knn_pallas_batched(
                 interpret=interpret,
             )(xp, xt)
         adj, proxy = pl.pallas_call(
-            functools.partial(_knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real),
+            kern,
             grid=grid,
             in_specs=in_specs,
             out_specs=[
@@ -319,6 +340,7 @@ def knn_with_adjacency_pallas(
     interpret: bool | None = None,
     with_idx: bool = True,
     with_proxy: bool = False,
+    fmt: str = "dense",
 ):
     """Fused kNN + dense 0/1 indicator adjacency in one kernel pass.
 
@@ -332,9 +354,18 @@ def knn_with_adjacency_pallas(
     ``with_proxy=True`` (adjacency-only path) also returns the layer-0
     proxy point [..., N, D] fp32 — ``(mask @ coords) / k`` computed in-kernel
     while both operands are VMEM-resident.
+
+    ``fmt="packed"`` (adjacency-only path) returns the adjacency BIT-PACKED:
+    [..., N, N/32] int32 bit-planes (ops/adjacency.py layout) — 8x less HBM
+    write/read than int8; consume with ``packed_neighbor_mean``. Requires N
+    to be a multiple of the tile unit (no column padding).
     """
     if with_proxy and with_idx:
         raise ValueError("with_proxy requires with_idx=False (model path)")
+    if fmt not in ("dense", "packed"):
+        raise ValueError(f"fmt must be dense|packed, got {fmt}")
+    if fmt == "packed" and with_idx:
+        raise ValueError("fmt='packed' requires with_idx=False (model path)")
     if interpret is None:
         interpret = not _on_tpu()
     *lead, n, d_in = x.shape
@@ -353,19 +384,29 @@ def knn_with_adjacency_pallas(
     xb = jnp.pad(xb, ((0, 0), (0, 0), (0, _COORD_PAD - d_in)))
     xb = jax.lax.stop_gradient(xb)
     if not with_idx:
+        pack = fmt == "packed"
+        if pack and npad != n:
+            raise ValueError(
+                f"fmt='packed' needs N divisible by the tile unit "
+                f"({unit}); got N={n} (padded {npad})"
+            )
         if with_proxy:
             adj, proxy = _knn_pallas_batched(
                 xb, k, tile_q, interpret, cp_real=d_in, adjacency_only=True,
-                with_proxy=True,
+                with_proxy=True, pack=pack,
             )
-            adj = adj[:, :n, :n].reshape(*lead, n, n)
             proxy = proxy[:, :n, :d_in].reshape(*lead, n, d_in)
-            return None, jax.lax.stop_gradient(adj), proxy
-        adj = _knn_pallas_batched(
-            xb, k, tile_q, interpret, cp_real=d_in, adjacency_only=True
-        )
-        adj = adj[:, :n, :n].reshape(*lead, n, n)
-        return None, jax.lax.stop_gradient(adj)
+        else:
+            adj = _knn_pallas_batched(
+                xb, k, tile_q, interpret, cp_real=d_in, adjacency_only=True,
+                pack=pack,
+            )
+        if pack:
+            adj = adj.reshape(*lead, n, npad // 32)
+        else:
+            adj = adj[:, :n, :n].reshape(*lead, n, n)
+        adj = jax.lax.stop_gradient(adj)
+        return (None, adj, proxy) if with_proxy else (None, adj)
     idx, _, adj = _knn_pallas_batched(
         xb, k, tile_q, interpret, with_adjacency=True, cp_real=d_in
     )
@@ -385,7 +426,7 @@ def knn(x: jnp.ndarray, k: int, return_dists: bool = False, impl: str = "auto"):
 
 def knn_adjacency(
     x: jnp.ndarray, k: int, dtype=jnp.bfloat16, impl: str = "auto",
-    with_idx: bool = True, with_proxy: bool = False,
+    with_idx: bool = True, with_proxy: bool = False, fmt: str = "dense",
 ):
     """(idx, dense 0/1 INDICATOR adjacency) with the best backend: the fused
     Pallas kernel (int8 output) on TPU, oracle kNN + compare-build elsewhere.
@@ -393,14 +434,16 @@ def knn_adjacency(
     ``with_idx=False`` skips the idx/dist bookkeeping entirely (model path).
     ``with_proxy=True`` appends the layer-0 proxy point (k-nearest coord
     mean, bf16 matmul / fp32 accumulation, cast to ``dtype``) — on TPU it is
-    emitted from inside the kernel, saving one dense [N, N] HBM read."""
-    from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean
+    emitted from inside the kernel, saving one dense [N, N] HBM read.
+    ``fmt="packed"`` returns the adjacency as [..., N, N/32] int32 bit-planes
+    (8x less HBM; consume with ops/adjacency.py packed_neighbor_mean)."""
+    from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean, pack_indicator
 
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "jnp"
     if impl == "pallas":
         out = knn_with_adjacency_pallas(
-            x, k, with_idx=with_idx, with_proxy=with_proxy
+            x, k, with_idx=with_idx, with_proxy=with_proxy, fmt=fmt
         )
         if with_proxy:
             idx, adj, proxy = out
@@ -415,5 +458,7 @@ def knn_adjacency(
             x.astype(dtype), adjacency=indicator, compute_dtype=dtype,
             adjacency_scale=1.0 / k,
         )
-        return (idx if with_idx else None), indicator, proxy
-    return idx, indicator
+    adj = pack_indicator(indicator) if fmt == "packed" else indicator
+    if with_proxy:
+        return (idx if with_idx else None), adj, proxy
+    return idx, adj

@@ -129,3 +129,15 @@ def test_gvlad_g1_equals_dense_fc(rng):
     dense = np.asarray(vlad) @ w + np.asarray(p["group_b"])[0]
     dense = dense / (np.linalg.norm(dense, axis=-1, keepdims=True) + 1e-12)
     np.testing.assert_allclose(np.asarray(out), dense, atol=1e-5)
+
+def test_epcnet_packed_adjacency_matches_dense(rng, tiny_model_cfg):
+    """adjacency_format='packed' (bit-packed eval path) produces the same
+    descriptors as 'dense' — bit-identical through the jnp oracle twins."""
+    cfg_d = tiny_model_cfg.variant(adjacency_format="dense")
+    cfg_p = tiny_model_cfg.variant(adjacency_format="packed")
+    x = jnp.asarray(rng.randn(2, cfg_d.num_points, 3).astype(np.float32))
+    m_d, m_p = get_model(cfg_d), get_model(cfg_p)
+    v = m_d.init(jax.random.PRNGKey(0), x, train=False)
+    out_d = m_d.apply(v, x, train=False)
+    out_p = m_p.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_p))

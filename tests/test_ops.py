@@ -125,3 +125,55 @@ def test_sharded_topk_matches_single(rng, mesh8):
     i2, d2 = sharded_topk_neighbors(q, db, 7, mesh8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+# ---------------------------------------------------------------- packed A
+def test_pack_unpack_indicator_roundtrip(rng):
+    from epcnet_tpu.ops.adjacency import pack_indicator, unpack_indicator
+
+    ind = (rng.rand(2, 96, 256) < 0.05).astype(np.int8)
+    packed = pack_indicator(jnp.asarray(ind))
+    assert packed.shape == (2, 96, 8) and packed.dtype == jnp.int32
+    back = np.asarray(unpack_indicator(packed))
+    np.testing.assert_array_equal(back, ind)
+
+
+def test_packed_neighbor_mean_matches_dense(rng):
+    """Pallas unpack-dot kernel (interpret) == dense indicator matmul."""
+    from epcnet_tpu.ops.adjacency import (
+        mean_adjacency, neighbor_mean, pack_indicator, packed_neighbor_mean,
+    )
+
+    k, n, c = 6, 256, 48
+    idx = knn_jnp(jnp.asarray(rng.randn(2, n, 3).astype(np.float32)), k)
+    ind = mean_adjacency(idx, n, dtype=jnp.float32) * k
+    packed = pack_indicator(ind)
+    f = jnp.asarray(rng.randn(2, n, c).astype(np.float32)).astype(jnp.bfloat16)
+
+    want = neighbor_mean(f, adjacency=ind.astype(jnp.bfloat16),
+                         compute_dtype=jnp.bfloat16, adjacency_scale=1.0 / k)
+    got_pallas = packed_neighbor_mean(f, packed, k, impl="pallas", interpret=True)
+    got_jnp = packed_neighbor_mean(f, packed, k, impl="jnp")
+    np.testing.assert_allclose(
+        np.asarray(got_pallas, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_jnp, np.float32), np.asarray(want, np.float32)
+    )
+
+
+def test_knn_kernel_packed_adjacency_output(rng):
+    """fmt='packed' kernel output == pack_indicator(dense kernel output)."""
+    from epcnet_tpu.ops.adjacency import pack_indicator
+    from epcnet_tpu.ops.knn import knn_with_adjacency_pallas
+
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    _, dense = knn_with_adjacency_pallas(x, 7, with_idx=False)
+    _, packed, proxy = knn_with_adjacency_pallas(
+        x, 7, with_idx=False, with_proxy=True, fmt="packed"
+    )
+    assert packed.shape == (2, 256, 8) and packed.dtype == jnp.int32
+    assert proxy.shape == (2, 256, 3)
+    np.testing.assert_array_equal(
+        np.asarray(packed), np.asarray(pack_indicator(dense))
+    )
