@@ -85,7 +85,8 @@ def main(argv=None):
 
     state = create_train_state(student_cfg, cfg.train)
     step_fn = build_distill_step(student_cfg, teacher_cfg, cfg.train, args.alpha)
-    metrics = MetricsLogger(cfg.log_dir, "distill")
+    metrics = MetricsLogger(cfg.log_dir, "distill",
+                            tensorboard=cfg.train.tensorboard)
     mgr = CheckpointManager(f"{cfg.log_dir}/ckpt", cfg.train.keep_checkpoints)
     os.makedirs(cfg.log_dir, exist_ok=True)
     with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:

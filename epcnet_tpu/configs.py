@@ -145,6 +145,9 @@ class TrainConfig:
     checkpoint_every_steps: int = 1000
     keep_checkpoints: int = 3
     log_every_steps: int = 20
+    # Mirror numeric metrics as TensorBoard scalars under <log_dir>/tb —
+    # the reference's tf.summary analogue (SURVEY.md §5.5). JSONL always on.
+    tensorboard: bool = False
     seed: int = 1234
 
 

@@ -59,7 +59,9 @@ class Trainer:
             tuples, cfg.data, cfg.train.batch_num_queries, seed=cfg.train.seed
         )
         self.mining = MiningCache(tuples, cfg.data, cfg.train, self.embed_fn)
-        self.metrics = MetricsLogger(cfg.log_dir, "train", echo_every=0)
+        self.metrics = MetricsLogger(
+            cfg.log_dir, "train", echo_every=0, tensorboard=cfg.train.tensorboard
+        )
         self.ckpt = (
             CheckpointManager(f"{cfg.log_dir}/ckpt", cfg.train.keep_checkpoints)
             if checkpoints
@@ -226,8 +228,12 @@ class Trainer:
                     f"(epoch {epoch}) and stopping — resume with --restore"
                 )
                 return self.state
+            loss_txt = (
+                f"loss={float(m['loss']):.4f}" if n_steps else
+                "no new batches (already consumed before restart)"
+            )
             log_string(
-                f"epoch {epoch}: {n_steps} steps, loss={float(m['loss']):.4f}, "
+                f"epoch {epoch}: {n_steps} steps, {loss_txt}, "
                 f"{time.time() - t_epoch:.1f}s"
             )
             # advance the marker BEFORE saving: an epoch-boundary checkpoint

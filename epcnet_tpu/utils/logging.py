@@ -23,14 +23,33 @@ def log_string(msg: str, log_file=None) -> None:
 
 
 class MetricsLogger:
-    """JSONL metrics writer (+ echo to stdout every ``echo_every`` calls)."""
+    """JSONL metrics writer (+ echo to stdout every ``echo_every`` calls).
 
-    def __init__(self, log_dir: str, name: str = "metrics", echo_every: int = 0):
+    ``tensorboard=True`` additionally mirrors every numeric metric as a
+    TensorBoard scalar under ``<log_dir>/tb`` — the analogue of the
+    reference's ``tf.summary.FileWriter`` scalars [LINEAGE; SURVEY.md §5.5].
+    Optional and gated: if no TB backend is importable the logger degrades
+    to JSONL-only with a logged notice.
+    """
+
+    def __init__(
+        self, log_dir: str, name: str = "metrics", echo_every: int = 0,
+        tensorboard: bool = False,
+    ):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.jsonl")
         self._f = open(self.path, "a")
         self.echo_every = echo_every
         self._count = 0
+        self._name = name
+        self._tb = None
+        if tensorboard:
+            try:
+                from flax.metrics.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except Exception as e:  # missing backend: degrade, don't fail
+                log_string(f"tensorboard writer unavailable ({e!r}); JSONL only")
 
     def write(self, step: int, metrics: Mapping[str, Any], **extra) -> None:
         rec = {"step": int(step), "time": time.time(), **extra}
@@ -42,9 +61,16 @@ class MetricsLogger:
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         self._count += 1
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "time") and isinstance(v, (int, float)):
+                    self._tb.scalar(f"{self._name}/{k}", float(v), int(step))
         if self.echo_every and self._count % self.echo_every == 0:
             short = {k: (round(v, 5) if isinstance(v, float) else v) for k, v in rec.items() if k != "time"}
             print(short, file=sys.stderr, flush=True)
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()

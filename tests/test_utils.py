@@ -41,3 +41,34 @@ def test_device_sync_and_timeit():
     device_sync({"a": x, "b": (x, x)})
     t = timeit(lambda: x + 1, iters=3, warmup=1)
     assert t > 0
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """tensorboard=True mirrors numeric metrics as TB scalars (SURVEY §5.5 —
+    the reference's tf.summary analogue); values read back from the event
+    file must match what was written."""
+    import glob
+
+    from epcnet_tpu.utils.logging import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path), "train", tensorboard=True)
+    m.write(3, {"loss": 1.25}, epoch=0)
+    m.write(7, {"loss": 0.5}, epoch=1)
+    m.close()
+
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert files, "no TB event file written"
+
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+
+    seen = {}
+    for ev in EventFileLoader(files[0]).Load():
+        for v in getattr(ev.summary, "value", []):
+            if v.tag == "train/loss":
+                t = v.tensor
+                import numpy as _np
+                from tensorboard.util.tensor_util import make_ndarray
+
+                seen[ev.step] = float(make_ndarray(t)) if t.dtype else v.simple_value
+    assert seen.get(3) == 1.25 and seen.get(7) == 0.5
