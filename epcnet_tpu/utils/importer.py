@@ -43,6 +43,77 @@ def convert_dense(weight: np.ndarray, source: str) -> np.ndarray:
     return w
 
 
+# ----------------------------------------------------------------------------
+# Concrete name maps, pre-wired from the PUBLIC code lineage.
+#
+# UNVERIFIED: the reference mount is empty (SURVEY.md §0), so these variable
+# names come from training-data knowledge of the public TF1 PointNetVLAD
+# repo (mikacuy/pointnetvlad) that fpthink/EPC-Net forks [LINEAGE]. When the
+# real checkpoint is available, diff its variable list against this map and
+# adjust — the machinery (regex -> path templates, layout conversion,
+# shape-verified overlay) is already exercised end-to-end by
+# tests/test_importer.py::test_tf1_pointnetvlad_name_map.
+# ----------------------------------------------------------------------------
+
+def _tnet_map(scope: str, target: str, transform_var: str) -> dict:
+    m = {}
+    for i in (1, 2, 3):  # tconv1..3 -> mlp dense_0..2
+        m[rf"{scope}/tconv{i}/weights"] = f"{target}/mlp/dense_{i-1}/kernel"
+        m[rf"{scope}/tconv{i}/biases"] = f"{target}/mlp/dense_{i-1}/bias"
+        m[rf"{scope}/tconv{i}/bn/gamma"] = f"{target}/mlp/bn_{i-1}/scale"
+        m[rf"{scope}/tconv{i}/bn/beta"] = f"{target}/mlp/bn_{i-1}/bias"
+        m[rf"{scope}/tconv{i}/bn/moving_mean"] = f"{target}/mlp/bn_{i-1}/mean"
+        m[rf"{scope}/tconv{i}/bn/moving_variance"] = f"{target}/mlp/bn_{i-1}/var"
+    for i in (1, 2):  # tfc1..2 -> fc dense_0..1
+        m[rf"{scope}/tfc{i}/weights"] = f"{target}/fc/dense_{i-1}/kernel"
+        m[rf"{scope}/tfc{i}/biases"] = f"{target}/fc/dense_{i-1}/bias"
+        m[rf"{scope}/tfc{i}/bn/gamma"] = f"{target}/fc/bn_{i-1}/scale"
+        m[rf"{scope}/tfc{i}/bn/beta"] = f"{target}/fc/bn_{i-1}/bias"
+        m[rf"{scope}/tfc{i}/bn/moving_mean"] = f"{target}/fc/bn_{i-1}/mean"
+        m[rf"{scope}/tfc{i}/bn/moving_variance"] = f"{target}/fc/bn_{i-1}/var"
+    m[rf"{scope}/{transform_var}/weights"] = f"{target}/transform_w"
+    m[rf"{scope}/{transform_var}/biases"] = f"{target}/transform_b"
+    return m
+
+
+def _conv_bn_map(src: str, dst: str) -> dict:
+    return {
+        rf"{src}/weights": f"{dst}/kernel",
+        rf"{src}/biases": f"{dst}/bias",
+    }
+
+
+def _tf1_pointnetvlad_map() -> dict:
+    m = {}
+    m.update(_tnet_map("transform_net1", "input_tnet", "transform_XYZ"))
+    m.update(_tnet_map("transform_net2", "feature_tnet", "transform_feat"))
+    # conv1..2 (pre feature-transform) -> mlp1; conv3..5 -> mlp2
+    for i, (blk, j) in enumerate(
+        [("mlp1", 0), ("mlp1", 1), ("mlp2", 0), ("mlp2", 1), ("mlp2", 2)], start=1
+    ):
+        m.update(_conv_bn_map(f"conv{i}", f"{blk}/dense_{j}"))
+        m[rf"conv{i}/bn/gamma"] = f"{blk}/bn_{j}/scale"
+        m[rf"conv{i}/bn/beta"] = f"{blk}/bn_{j}/bias"
+        m[rf"conv{i}/bn/moving_mean"] = f"{blk}/bn_{j}/mean"
+        m[rf"conv{i}/bn/moving_variance"] = f"{blk}/bn_{j}/var"
+    # NetVLAD head (PointNetVLAD's VLAD + context gating variables)
+    m[r"(?:vlad/)?cluster_weights"] = "netvlad/assign/kernel"
+    m[r"(?:vlad/)?cluster_biases"] = "netvlad/assign/bias"
+    m[r"(?:vlad/)?cluster_weights2"] = "netvlad/centroids"
+    m[r"(?:vlad/)?hidden1_weights"] = "netvlad/group_w"
+    m[r"(?:vlad/)?hidden1_biases"] = "netvlad/group_b"
+    m[r"(?:vlad/)?gating_weights"] = "netvlad/gate/kernel"
+    m[r"(?:vlad/)?gating_biases"] = "netvlad/gate/bias"
+    return m
+
+
+NAME_MAPS: dict[str, dict] = {
+    # TF1 tf.train.Saver variable names of the PointNetVLAD family
+    # [LINEAGE, UNVERIFIED — see module docstring]. Use with source="tf".
+    "tf1_pointnetvlad": _tf1_pointnetvlad_map(),
+}
+
+
 def import_state_dict(
     state_dict: Mapping[str, Any],
     name_map: Mapping[str, str],
@@ -74,6 +145,19 @@ def import_state_dict(
         leaf = parts[-1]
         if leaf == "kernel":
             arr = convert_dense(arr, source)
+        elif leaf == "centroids":
+            # TF stores cluster centres [1, D, K] (or [D, K]); ours is [K, D]
+            if source == "tf":
+                if arr.ndim == 3:
+                    arr = arr[0]
+                arr = arr.T
+        elif leaf == "group_w":
+            if source == "torch" and arr.ndim == 2:
+                arr = arr.T  # torch Linear [out, in] -> [in, out]
+            if arr.ndim == 2:  # single dense FC -> grouped-FC with G=1
+                arr = arr[None]
+        elif leaf == "group_b" and arr.ndim == 1:
+            arr = arr[None]
         tree = stats if leaf in ("mean", "var") else params
         node = tree
         for p in parts[:-1]:

@@ -82,3 +82,95 @@ def test_merge_shape_mismatch_raises(rng, tiny_model_cfg):
     bad = {"proxyconv_0": {"dense": {"kernel": np.zeros((7, 7), np.float32)}}}
     with pytest.raises(ValueError, match="shape mismatch"):
         merge_into_variables(variables, bad, {})
+
+def test_tf1_pointnetvlad_name_map(rng):
+    """Full-model import through the pre-wired TF1 PointNetVLAD NAME_MAP
+    [LINEAGE, UNVERIFIED names]: a complete reference-style tf.train.Saver
+    variable dict maps onto our PointNetVLAD tree with ZERO skipped keys,
+    passes the shape-verified overlay, and the imported model runs."""
+    from epcnet_tpu.configs import pointnetvlad_config
+    from epcnet_tpu.models import get_model
+    from epcnet_tpu.utils.importer import (
+        NAME_MAPS, import_state_dict, merge_into_variables,
+    )
+
+    cfg = pointnetvlad_config(num_points=64).variant(
+        pointnet_channels=(8, 8, 16), feature_dim=16, vlad_clusters=4,
+        vlad_groups=1, vlad_group_dim=32, output_dim=32, use_pallas=False,
+    )
+    model = get_model(cfg)
+    x = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def r(*shape):
+        return rng.randn(*shape).astype(np.float32)
+
+    sd = {}
+    # the two T-Nets: tconv1..3 (64,128,1024), tfc1..2 (512,256), transform
+    for scope, cin, tvar, tdim in (
+        ("transform_net1", 3, "transform_XYZ", 9),
+        ("transform_net2", 8, "transform_feat", 64),
+    ):
+        widths = [64, 128, 1024]
+        prev = cin
+        for i, w in enumerate(widths, start=1):
+            sd[f"{scope}/tconv{i}/weights"] = r(1, 1, prev, w)  # TF conv2d 1x1
+            sd[f"{scope}/tconv{i}/biases"] = r(w)
+            for nm, arr in (("gamma", r(w)), ("beta", r(w)),
+                            ("moving_mean", r(w)), ("moving_variance", np.abs(r(w)))):
+                sd[f"{scope}/tconv{i}/bn/{nm}"] = arr
+            prev = w
+        for i, w in enumerate([512, 256], start=1):
+            sd[f"{scope}/tfc{i}/weights"] = r(prev, w)
+            sd[f"{scope}/tfc{i}/biases"] = r(w)
+            for nm, arr in (("gamma", r(w)), ("beta", r(w)),
+                            ("moving_mean", r(w)), ("moving_variance", np.abs(r(w)))):
+                sd[f"{scope}/tfc{i}/bn/{nm}"] = arr
+            prev = w
+        sd[f"{scope}/{tvar}/weights"] = r(256, tdim)
+        sd[f"{scope}/{tvar}/biases"] = r(tdim)
+    # conv1..2 -> mlp1 (8, 8); conv3 -> mlp2 (16)
+    prev = 3
+    for i, w in enumerate([8, 8, 16], start=1):
+        sd[f"conv{i}/weights"] = r(1, 1, prev, w)
+        sd[f"conv{i}/biases"] = r(w)
+        for nm, arr in (("gamma", r(w)), ("beta", r(w)),
+                        ("moving_mean", r(w)), ("moving_variance", np.abs(r(w)))):
+            sd[f"conv{i}/bn/{nm}"] = arr
+        prev = w
+    # NetVLAD head: D=16, K=4 clusters, hidden 64->32, gating 32
+    sd["cluster_weights"] = r(16, 4)
+    sd["cluster_biases"] = r(4)
+    sd["cluster_weights2"] = r(1, 16, 4)  # TF [1, D, K] centres
+    sd["hidden1_weights"] = r(64, 32)
+    sd["hidden1_biases"] = r(32)
+    sd["gating_weights"] = r(32, 32)
+    sd["gating_biases"] = r(32)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a skipped key == a map gap == fail
+        params, stats = import_state_dict(
+            sd, NAME_MAPS["tf1_pointnetvlad"], source="tf"
+        )
+    merged = merge_into_variables(variables, params, stats)
+
+    # spot-check layout conversions landed as specified
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["netvlad"]["centroids"]),
+        sd["cluster_weights2"][0].T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["mlp1"]["dense_0"]["kernel"]),
+        sd["conv1/weights"][0, 0],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["netvlad"]["group_w"]),
+        sd["hidden1_weights"][None],
+    )
+    out = model.apply(merged, x, train=False)
+    assert out.shape == (1, 32) and np.isfinite(np.asarray(out)).all()
+    # descriptors actually changed vs the random init (the overlay took)
+    base = model.apply(variables, x, train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(base))
