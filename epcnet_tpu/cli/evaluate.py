@@ -23,7 +23,7 @@ from epcnet_tpu.data.tuples import (
     scan_runs,
 )
 from epcnet_tpu.evals import evaluate_dataset, retrieval_latency_probe, embed_entries
-from epcnet_tpu.parallel import make_mesh
+from epcnet_tpu.parallel import make_multislice_mesh, maybe_initialize_distributed
 from epcnet_tpu.train import create_train_state, build_embed_fn
 from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.utils.logging import log_string
@@ -60,7 +60,8 @@ def main(argv=None):
     state = mgr.restore(state)
     log_string(f"restored checkpoint at step {int(state.step)}")
     embed = build_embed_fn(cfg.model)
-    mesh = make_mesh(cfg.mesh) if args.mesh else None
+    maybe_initialize_distributed()  # multi-process pods; no-op single-process
+    mesh = make_multislice_mesh(cfg.mesh) if args.mesh else None
 
     regions = {}
     if args.database_pickle:
