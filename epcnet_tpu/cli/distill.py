@@ -1,19 +1,21 @@
 """EPC-Net-L distillation CLI [PAPER §III-D].
 
 Trains the slim student against a frozen EPC-Net teacher checkpoint with
-metric loss + feature-mimic MSE (train/step.py build_distill_step).
+metric loss + feature-mimic MSE (train/step.py build_distill_step), driven
+by the same Trainer as cli/train.py — so distillation gets the full
+production feature set: exact --restore resume, SIGTERM preemption safety,
+mesh DP, hard-negative mining, and JSONL/TensorBoard metrics.
 
   python -m epcnet_tpu.cli.distill --dataset_root D --teacher_log_dir log \
-      [--alpha 1.0] [--log_dir log_student] [--synthetic]
+      [--alpha 1.0] [--log_dir log_student] [--restore] [--mesh] [--synthetic]
 """
 
 from __future__ import annotations
 
 import argparse
 import os
-import time
 
-import jax.numpy as jnp
+import jax
 
 from epcnet_tpu.configs import (
     DataConfig,
@@ -21,12 +23,17 @@ from epcnet_tpu.configs import (
     apply_overrides,
     epcnet_l_config,
 )
-from epcnet_tpu.data.loader import TupleLoader
 from epcnet_tpu.data.tuples import construct_query_dict, scan_runs
+from epcnet_tpu.parallel import (
+    PreemptionGuard,
+    make_multislice_mesh,
+    maybe_initialize_distributed,
+)
+from epcnet_tpu.train import Trainer
 from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.train.state import create_train_state
 from epcnet_tpu.train.step import build_distill_step
-from epcnet_tpu.utils.logging import MetricsLogger, log_string
+from epcnet_tpu.utils.logging import log_string
 
 
 def main(argv=None):
@@ -36,8 +43,14 @@ def main(argv=None):
     ap.add_argument("--log_dir", default="log_student")
     ap.add_argument("--alpha", type=float, default=1.0, help="mimic-loss weight")
     ap.add_argument("--set", action="append", default=[], dest="overrides")
+    ap.add_argument("--restore", action="store_true",
+                    help="resume the student from latest checkpoint in log_dir")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard over all available devices (DP)")
     ap.add_argument("--synthetic", action="store_true")
     args = ap.parse_args(argv)
+
+    maybe_initialize_distributed()  # multi-process pods; no-op single-process
 
     # Teacher config + weights from its run directory.
     tcfg_path = os.path.join(args.teacher_log_dir, "config.json")
@@ -81,39 +94,28 @@ def main(argv=None):
         cfg.data.negative_radius_m,
         exclude_test_regions=not args.synthetic,
     )
-    loader = TupleLoader(tuples, cfg.data, cfg.train.batch_num_queries, cfg.train.seed)
 
-    state = create_train_state(student_cfg, cfg.train)
-    step_fn = build_distill_step(student_cfg, teacher_cfg, cfg.train, args.alpha)
-    metrics = MetricsLogger(cfg.log_dir, "distill",
-                            tensorboard=cfg.train.tensorboard)
-    mgr = CheckpointManager(f"{cfg.log_dir}/ckpt", cfg.train.keep_checkpoints)
+    mesh = make_multislice_mesh(cfg.mesh) if args.mesh else None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        teacher_vars = jax.device_put(teacher_vars, NamedSharding(mesh, P()))
+
+    distill_step = build_distill_step(student_cfg, teacher_cfg, cfg.train, args.alpha)
+
     os.makedirs(cfg.log_dir, exist_ok=True)
     with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    for epoch in range(cfg.train.max_epoch):
-        t0 = time.time()
-        n_steps = 0
-        m = {k: float("nan") for k in ("loss", "metric_loss", "mimic_loss")}
-        for batch in loader.epoch(epoch):
-            n_steps += 1
-            dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
-            state, m = step_fn(state, teacher_vars, dev)
-            if int(state.step) % cfg.train.log_every_steps == 0:
-                metrics.write(int(state.step), m, epoch=epoch)
-        if n_steps == 0:
-            log_string(
-                f"epoch {epoch}: 0 usable tuples (check data.num_positives "
-                f"vs the dataset's positive counts)"
-            )
-        mgr.save(state)
-        log_string(
-            f"epoch {epoch}: loss={float(m['loss']):.4f} "
-            f"(metric {float(m['metric_loss']):.4f} mimic {float(m['mimic_loss']):.4f}) "
-            f"{time.time() - t0:.1f}s"
-        )
-    mgr.wait()
+    trainer = Trainer(
+        cfg, tuples, mesh=mesh, metrics_name="distill",
+        step_fn=lambda state, batch: distill_step(state, teacher_vars, batch),
+    )
+    if args.restore:
+        step = trainer.maybe_restore()
+        log_string(f"student restored at step {step}")
+    with PreemptionGuard() as guard:
+        trainer.train(should_stop=guard)
 
 
 if __name__ == "__main__":

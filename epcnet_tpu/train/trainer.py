@@ -43,14 +43,23 @@ class Trainer:
         tuples: TrainingTuples,
         mesh: Mesh | None = None,
         checkpoints: bool = True,
+        step_fn=None,
+        metrics_name: str = "train",
     ):
+        """``step_fn``: optional custom jitted ``(state, batch) -> (state,
+        metrics)`` — e.g. a distillation step with the teacher bound — in
+        place of the standard quadruplet step. The full Trainer feature set
+        (resume, preemption, mesh DP, mining, TB metrics) applies to it;
+        ``steps_per_dispatch`` fusion only supports the standard step."""
         self.cfg = cfg
         self.tuples = tuples
         self.mesh = mesh
-        self.step_fn = build_train_step(cfg.model, cfg.train)
+        self.step_fn = (
+            step_fn if step_fn is not None else build_train_step(cfg.model, cfg.train)
+        )
         self.multi_step_fn = (
             build_multi_train_step(cfg.model, cfg.train)
-            if cfg.train.steps_per_dispatch > 1
+            if cfg.train.steps_per_dispatch > 1 and step_fn is None
             else None
         )
         self.embed_fn = build_embed_fn(cfg.model)
@@ -60,7 +69,8 @@ class Trainer:
         )
         self.mining = MiningCache(tuples, cfg.data, cfg.train, self.embed_fn)
         self.metrics = MetricsLogger(
-            cfg.log_dir, "train", echo_every=0, tensorboard=cfg.train.tensorboard
+            cfg.log_dir, metrics_name, echo_every=0,
+            tensorboard=cfg.train.tensorboard,
         )
         self.ckpt = (
             CheckpointManager(f"{cfg.log_dir}/ckpt", cfg.train.keep_checkpoints)
@@ -156,7 +166,11 @@ class Trainer:
             n_steps = 0
             m = {"loss": float("nan")}  # stays if the epoch yields no batches
             t_epoch = time.time()
-            s_per = max(1, cfg.train.steps_per_dispatch)
+            s_per = (
+                max(1, cfg.train.steps_per_dispatch)
+                if self.multi_step_fn is not None
+                else 1
+            )
 
             def crossed(prev: int, cur: int, every: int) -> bool:
                 # a multiple of `every` lies in (prev, cur] — the dispatch-

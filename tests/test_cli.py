@@ -233,3 +233,55 @@ def test_distill_cli(cli_root, tmp_path):
     recs = [json.loads(l) for l in open(os.path.join(student_dir, "distill.jsonl"))]
     assert len(recs) > 0
     assert all("mimic_loss" in r for r in recs)
+
+def test_distill_restore_cli(cli_root, tmp_path):
+    """Distill --restore resumes at the saved epoch instead of replaying
+    (the Trainer resume contract now applies to distillation too)."""
+    from epcnet_tpu.cli.distill import main as distill_main
+    from epcnet_tpu.cli.train import main as train_main
+    from epcnet_tpu.train.checkpoint import CheckpointManager
+    from epcnet_tpu.train.state import create_train_state
+    from epcnet_tpu.configs import ExperimentConfig
+    import json, os
+
+    teacher_dir = str(tmp_path / "teacher")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", teacher_dir]
+    for s_ in sets:
+        args += ["--set", s_]
+    train_main(args)
+
+    student_dir = str(tmp_path / "student")
+    dargs = ["--dataset_root", cli_root, "--teacher_log_dir", teacher_dir,
+             "--log_dir", student_dir,
+             "--set", "data.num_points=128",
+             "--set", "data.num_negatives=3",
+             "--set", "data.num_positives=1",
+             "--set", "model.proxyconv_channels=4,4",
+             "--set", "model.lift_channels=8,16",
+             "--set", "model.feature_dim=16",
+             "--set", "model.vlad_clusters=4",
+             "--set", "model.vlad_groups=2",
+             "--set", "model.vlad_group_dim=8"]
+    distill_main(dargs)
+
+    cfg = ExperimentConfig.from_json(open(os.path.join(student_dir, "config.json")).read())
+    st = create_train_state(cfg.model, cfg.train)
+    st = CheckpointManager(f"{student_dir}/ckpt").restore(st)
+    step_after_1 = int(st.step)
+    assert step_after_1 > 0 and int(st.epoch) == 1  # saved AT the epoch-1 boundary
+
+    distill_main(dargs + ["--restore", "--set", "train.max_epoch=2"])
+    st2 = create_train_state(cfg.model, cfg.train)
+    st2 = CheckpointManager(f"{student_dir}/ckpt").restore(st2)
+    assert int(st2.step) == 2 * step_after_1  # exactly one more epoch ran
+    assert int(st2.epoch) == 2
+
