@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--output", default=None, help="default <log_dir>/results.txt")
     args = ap.parse_args(argv)
 
+    # MUST precede any JAX call (create_train_state below initializes the
+    # XLA backend; jax.distributed.initialize refuses to run after that).
+    maybe_initialize_distributed()
+
     cfg_path = args.config or os.path.join(args.log_dir, "config.json")
     cfg = (
         ExperimentConfig.from_json(open(cfg_path).read())
@@ -60,7 +64,6 @@ def main(argv=None):
     state = mgr.restore(state)
     log_string(f"restored checkpoint at step {int(state.step)}")
     embed = build_embed_fn(cfg.model)
-    maybe_initialize_distributed()  # multi-process pods; no-op single-process
     mesh = make_multislice_mesh(cfg.mesh) if args.mesh else None
 
     regions = {}

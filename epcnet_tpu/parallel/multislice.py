@@ -41,11 +41,12 @@ def maybe_initialize_distributed(
     """Initialise ``jax.distributed`` when a multi-process run is requested.
 
     Arguments fall back to ``EPCNET_COORDINATOR_ADDRESS`` /
-    ``EPCNET_NUM_PROCESSES`` / ``EPCNET_PROCESS_ID`` env vars (jax itself
-    also honours cluster auto-detection for TPU pods when all three are
-    None). Returns True iff distributed init ran. Single-process runs (no
-    coordinator configured, num_processes absent or 1) are a no-op so CLIs
-    call this unconditionally.
+    ``EPCNET_NUM_PROCESSES`` / ``EPCNET_PROCESS_ID`` env vars. Alternatively
+    set ``EPCNET_DISTRIBUTED=1`` with none of the above to invoke jax's
+    no-argument cluster auto-detection (TPU pods). Returns True iff
+    distributed init ran. Single-process runs (nothing configured) are a
+    no-op, so CLIs call this unconditionally — and they must call it BEFORE
+    any JAX computation initialises the XLA backend.
     """
     coordinator_address = coordinator_address or os.environ.get(
         "EPCNET_COORDINATOR_ADDRESS"
@@ -57,6 +58,9 @@ def maybe_initialize_distributed(
         raw = os.environ.get("EPCNET_PROCESS_ID")
         process_id = int(raw) if raw else None
     if coordinator_address is None and num_processes in (None, 1):
+        if os.environ.get("EPCNET_DISTRIBUTED", "") in ("1", "true", "auto"):
+            jax.distributed.initialize()  # pod cluster auto-detection
+            return True
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -206,8 +206,10 @@ class Trainer:
                     self.ckpt.save(self.state)
 
             preempted = False
+            batches_seen = 0
             pending: list = []
             for batch in self.loader.epoch(epoch):
+                batches_seen += 1
                 if skip > 0:
                     skip -= 1  # consumed before the restart — replay past it
                     continue
@@ -237,15 +239,19 @@ class Trainer:
                 if self.ckpt is not None:
                     self.ckpt.save(self.state)
                     self.ckpt.wait()
+                self.metrics.flush()
                 log_string(
                     f"preemption requested: checkpointed at step {step} "
                     f"(epoch {epoch}) and stopping — resume with --restore"
                 )
                 return self.state
-            loss_txt = (
-                f"loss={float(m['loss']):.4f}" if n_steps else
-                "no new batches (already consumed before restart)"
-            )
+            if n_steps:
+                loss_txt = f"loss={float(m['loss']):.4f}"
+            elif batches_seen:
+                loss_txt = "no new batches (already consumed before restart)"
+            else:
+                loss_txt = ("0 usable tuples (check data.num_positives/"
+                            "num_negatives vs the dataset's pools)")
             log_string(
                 f"epoch {epoch}: {n_steps} steps, {loss_txt}, "
                 f"{time.time() - t_epoch:.1f}s"
@@ -260,4 +266,5 @@ class Trainer:
         log_string(f"training done in {time.time() - t_start:.1f}s")
         if self.ckpt is not None:
             self.ckpt.wait()
+        self.metrics.flush()
         return self.state

@@ -69,6 +69,15 @@ class MetricsLogger:
             short = {k: (round(v, 5) if isinstance(v, float) else v) for k, v in rec.items() if k != "time"}
             print(short, file=sys.stderr, flush=True)
 
+    def flush(self) -> None:
+        """Durability point without ending the logger's life: the JSONL file
+        is flushed per write, but the TB SummaryWriter buffers — call this
+        at end-of-train and on preemption (SIGTERM grace windows kill the
+        process before GC would flush)."""
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:

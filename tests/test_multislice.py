@@ -97,11 +97,38 @@ def test_multislice_dp_train_step_runs(synthetic_root, tiny_model_cfg):
 # ---------------------------------------------- distributed bootstrap
 def test_maybe_initialize_distributed_is_noop_single_process(monkeypatch):
     for var in ("EPCNET_COORDINATOR_ADDRESS", "EPCNET_NUM_PROCESSES",
-                "EPCNET_PROCESS_ID"):
+                "EPCNET_PROCESS_ID", "EPCNET_DISTRIBUTED"):
         monkeypatch.delenv(var, raising=False)
     assert maybe_initialize_distributed() is False
     monkeypatch.setenv("EPCNET_NUM_PROCESSES", "1")
     assert maybe_initialize_distributed() is False
+
+
+def test_maybe_initialize_distributed_dispatch(monkeypatch):
+    """EPCNET_* env vars route into jax.distributed.initialize with the
+    right arguments; EPCNET_DISTRIBUTED=1 alone uses no-arg auto-detection."""
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **kw: calls.append((a, kw)),
+    )
+    for var in ("EPCNET_COORDINATOR_ADDRESS", "EPCNET_NUM_PROCESSES",
+                "EPCNET_PROCESS_ID", "EPCNET_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+
+    monkeypatch.setenv("EPCNET_DISTRIBUTED", "1")
+    assert maybe_initialize_distributed() is True
+    assert calls[-1] == ((), {})  # pod auto-detection form
+
+    monkeypatch.setenv("EPCNET_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    monkeypatch.setenv("EPCNET_NUM_PROCESSES", "4")
+    monkeypatch.setenv("EPCNET_PROCESS_ID", "2")
+    assert maybe_initialize_distributed() is True
+    assert calls[-1][1] == {
+        "coordinator_address": "10.0.0.1:8476",
+        "num_processes": 4,
+        "process_id": 2,
+    }
 
 
 # ---------------------------------------------------------- preemption
