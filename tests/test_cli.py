@@ -285,3 +285,42 @@ def test_distill_restore_cli(cli_root, tmp_path):
     assert int(st2.step) == 2 * step_after_1  # exactly one more epoch ran
     assert int(st2.epoch) == 2
 
+
+def test_distill_mesh_cli(cli_root, tmp_path):
+    """Distill --mesh: DP over the 8-device CPU mesh with the teacher
+    replicated (the new Trainer-backed path)."""
+    from epcnet_tpu.cli.distill import main as distill_main
+    from epcnet_tpu.cli.train import main as train_main
+    import json, os
+
+    teacher_dir = str(tmp_path / "teacher")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", teacher_dir]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+
+    student_dir = str(tmp_path / "student")
+    dargs = ["--dataset_root", cli_root, "--teacher_log_dir", teacher_dir,
+             "--log_dir", student_dir, "--mesh",
+             "--set", "train.batch_num_queries=8",
+             "--set", "train.log_every_steps=2",
+             "--set", "data.num_negatives=3",
+             "--set", "data.num_positives=1",
+             "--set", "model.proxyconv_channels=4,4",
+             "--set", "model.lift_channels=8,16",
+             "--set", "model.feature_dim=16",
+             "--set", "model.vlad_clusters=4",
+             "--set", "model.vlad_groups=2",
+             "--set", "model.vlad_group_dim=8"]
+    distill_main(dargs)
+    recs = [json.loads(l) for l in open(os.path.join(student_dir, "distill.jsonl"))]
+    assert recs and all(np.isfinite(r["loss"]) for r in recs)

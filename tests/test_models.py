@@ -141,3 +141,25 @@ def test_epcnet_packed_adjacency_matches_dense(rng, tiny_model_cfg):
     out_d = m_d.apply(v, x, train=False)
     out_p = m_p.apply(v, x, train=False)
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_p))
+
+def test_vlad_precision_default_fidelity(rng, tiny_model_cfg):
+    """The opt-in vlad_precision='default' (single-pass MXU accumulation)
+    must stay within ~1e-2 relative of the fp32-exact descriptors and
+    preserve nearest-neighbour ordering on a small retrieval set — the
+    deployment contract that makes the knob usable."""
+    cfg_hi = tiny_model_cfg.variant(vlad_precision="highest")
+    cfg_lo = tiny_model_cfg.variant(vlad_precision="default")
+    x = jnp.asarray(rng.randn(8, cfg_hi.num_points, 3).astype(np.float32))
+    m_hi, m_lo = get_model(cfg_hi), get_model(cfg_lo)
+    v = m_hi.init(jax.random.PRNGKey(0), x[:1], train=False)
+    d_hi = np.asarray(m_hi.apply(v, x, train=False), np.float64)
+    d_lo = np.asarray(m_lo.apply(v, x, train=False), np.float64)
+    # L2-normalized outputs: cosine agreement is the meaningful metric
+    cos = (d_hi * d_lo).sum(-1)
+    assert (cos > 1 - 1e-3).all(), cos
+    # retrieval ordering: each descriptor's nearest other-descriptor agrees
+    def nn(d):
+        s = d @ d.T
+        np.fill_diagonal(s, -np.inf)
+        return s.argmax(-1)
+    np.testing.assert_array_equal(nn(d_hi), nn(d_lo))
