@@ -1,0 +1,161 @@
+"""HTTP place-recognition server over the PlaceIndex.
+
+Reference equivalent: none — the reference's CLI drivers are its entire API
+[LINEAGE; SURVEY.md §3.5]. This is the production serving front-end on top
+of ``epcnet_tpu.serve``: a stdlib threaded HTTP server whose per-connection
+threads feed the ``QueryScheduler``, so concurrent single-submap queries are
+micro-batched into shared MXU dispatches.
+
+  python -m epcnet_tpu.cli.serve --log_dir log [--host 127.0.0.1]
+      [--port 8476] [--k 25] [--max_wait_ms 2] [--db saved_index.npz]
+      [--mesh] [--save_on_exit saved_index.npz]
+
+JSON API (``Content-Type: application/json``):
+
+  GET  /healthz -> {"ok": true, "size": N, "dim": D}
+  POST /embed   {"points": [[[x,y,z], ...], ...]}          (batch of submaps)
+                -> {"descriptors": [[...], ...]}
+  POST /add     {"points": [...], "metadata": [...]}        -> {"size": N}
+  POST /query   {"points": [[x,y,z], ...], "k": 5}          (ONE submap;
+                micro-batched with concurrent callers)
+                -> {"ids": [...], "sqdists": [...], "metadata": [...]}
+  POST /query_batch {"points": [[[...]], ...], "k": 5}      (direct batch)
+                -> {"ids": [[...]], "sqdists": [[...]]}
+
+SIGTERM/SIGINT shuts the server down cleanly (optionally persisting the DB
+with ``--save_on_exit``) — the serving analogue of the Trainer's
+preemption-safe checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from epcnet_tpu.serve import PlaceIndex, QueryScheduler
+from epcnet_tpu.utils.logging import log_string
+
+
+def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # route to our logger, not stderr
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "size": len(index), "dim": index.dim})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._reply(400, {"error": f"bad request body: {e}"})
+            try:
+                if self.path == "/embed":
+                    pts = np.asarray(req["points"], np.float32)
+                    self._reply(200, {"descriptors": index.embed(pts).tolist()})
+                elif self.path == "/add":
+                    pts = np.asarray(req["points"], np.float32)
+                    index.add(pts, metadata=req.get("metadata"))
+                    self._reply(200, {"size": len(index)})
+                elif self.path == "/query":
+                    pts = np.asarray(req["points"], np.float32)  # [N, 3]
+                    k = int(req.get("k", default_k))
+                    ids, dists = sched.submit(pts).result(timeout=60)
+                    ids, dists = ids[:k], dists[:k]
+                    self._reply(200, {
+                        "ids": ids.tolist(),
+                        "sqdists": dists.tolist(),
+                        "metadata": index.metadata(ids),
+                    })
+                elif self.path == "/query_batch":
+                    pts = np.asarray(req["points"], np.float32)  # [B, N, 3]
+                    k = int(req.get("k", default_k))
+                    ids, dists = index.query(pts, k)
+                    self._reply(200, {"ids": ids.tolist(), "sqdists": dists.tolist()})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, IndexError) as e:
+                self._reply(400, {"error": repr(e)})
+
+    return Handler
+
+
+def make_server(
+    index: PlaceIndex,
+    host: str = "127.0.0.1",
+    port: int = 8476,
+    k: int = 25,
+    max_wait_ms: float = 2.0,
+) -> tuple[ThreadingHTTPServer, QueryScheduler]:
+    """Build (server, scheduler); caller runs server.serve_forever()."""
+    # the scheduler serves the index's full top-k; per-request k trims it
+    sched = QueryScheduler(index, k=k, max_wait_ms=max_wait_ms)
+    srv = ThreadingHTTPServer((host, port), _json_handler(index, sched, k))
+    return srv, sched
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log_dir", required=True, help="trained run directory")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8476)
+    ap.add_argument("--k", type=int, default=25)
+    ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    ap.add_argument("--embed_batch", type=int, default=32)
+    ap.add_argument("--db", default=None, help="preload a saved index .npz")
+    ap.add_argument("--save_on_exit", default=None, help="persist DB on shutdown")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the retrieval DB over devices")
+    args = ap.parse_args(argv)
+
+    mesh = None
+    if args.mesh:
+        from epcnet_tpu.configs import MeshConfig
+        from epcnet_tpu.parallel import make_multislice_mesh
+
+        mesh = make_multislice_mesh(MeshConfig())
+    index = PlaceIndex.from_checkpoint(
+        args.log_dir, mesh=mesh, embed_batch=args.embed_batch
+    )
+    if args.db:
+        index.load_db(args.db)
+        log_string(f"loaded {len(index)} descriptors from {args.db}")
+
+    srv, sched = make_server(index, args.host, args.port, args.k, args.max_wait_ms)
+
+    def _shutdown(signum, frame):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
+
+    log_string(f"serving on http://{args.host}:{args.port} (index size {len(index)})")
+    try:
+        srv.serve_forever()
+    finally:
+        sched.stop()
+        if args.save_on_exit:
+            index.save(args.save_on_exit)
+            log_string(f"saved {len(index)} descriptors -> {args.save_on_exit}")
+        log_string("server stopped")
+
+
+if __name__ == "__main__":
+    main()

@@ -211,3 +211,74 @@ def test_from_checkpoint(tmp_path):
     ids, dists = idx.query(pts[:2], k=1)
     np.testing.assert_array_equal(ids[:, 0], [0, 1])
     assert dists.max() < 1e-4
+
+
+def test_http_server_endpoints(tiny_model_cfg, rng):
+    """cli/serve.py: healthz/embed/add/query/query_batch over real HTTP,
+    with concurrent /query calls sharing the scheduler's micro-batches."""
+    import json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from epcnet_tpu.cli.serve import make_server
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    index = PlaceIndex(
+        embed, state.params, state.batch_stats,
+        descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4, block_rows=64,
+    )
+    srv, sched = make_server(index, port=0, k=3, max_wait_ms=20.0)
+    host, port = srv.server_address
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    def call(path, payload=None):
+        url = f"http://{host}:{port}{path}"
+        if payload is None:
+            req = urllib.request.Request(url)
+        else:
+            req = urllib.request.Request(
+                url, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"},
+            )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        dim = tiny_model_cfg.output_dim
+        assert call("/healthz") == {"ok": True, "size": 0, "dim": dim}
+
+        pts = rng.uniform(-1, 1, (6, 128, 3)).astype(np.float32)
+        out = call("/add", {"points": pts.tolist(),
+                            "metadata": [f"s{i}" for i in range(6)]})
+        assert out == {"size": 6}
+
+        d = call("/embed", {"points": pts[:2].tolist()})
+        assert np.asarray(d["descriptors"]).shape == (2, dim)
+
+        # concurrent single-submap queries -> micro-batched self-retrieval
+        with ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(
+                lambda i: call("/query", {"points": pts[i].tolist(), "k": 1}),
+                range(6),
+            ))
+        for i, r in enumerate(results):
+            assert r["ids"][0] == i and r["metadata"][0] == f"s{i}"
+
+        rb = call("/query_batch", {"points": pts[:3].tolist(), "k": 2})
+        assert np.asarray(rb["ids"]).shape == (3, 2)
+        assert [row[0] for row in rb["ids"]] == [0, 1, 2]
+
+        # error paths stay JSON
+        import urllib.error
+        try:
+            call("/query", {"k": 1})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()
+        sched.stop()
