@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--set", action="append", default=[], dest="overrides")
     ap.add_argument("--restore", action="store_true",
                     help="resume the student from latest checkpoint in log_dir")
+    ap.add_argument(
+        "--eval_every_epochs", type=int, default=0,
+        help="evaluate student recall@1 every N epochs, retaining the best "
+        "checkpoint in <log_dir>/ckpt_best; 0 = off",
+    )
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all available devices (DP)")
     ap.add_argument("--synthetic", action="store_true")
@@ -114,8 +119,15 @@ def main(argv=None):
     if args.restore:
         step = trainer.maybe_restore()
         log_string(f"student restored at step {step}")
+
+    from epcnet_tpu.evals.hooks import make_recall_eval_hook
+
+    on_epoch_end, finalize_eval = make_recall_eval_hook(
+        cfg, mesh, args.eval_every_epochs
+    )
     with PreemptionGuard() as guard:
-        trainer.train(should_stop=guard)
+        trainer.train(on_epoch_end=on_epoch_end, should_stop=guard)
+    finalize_eval()
 
 
 if __name__ == "__main__":

@@ -99,43 +99,15 @@ def main(argv=None):
         step = trainer.maybe_restore()
         log_string(f"restored at step {step}")
 
-    on_epoch_end = None
-    if args.eval_every_epochs > 0:
-        from epcnet_tpu.data.tuples import (
-            any_in_test_regions,
-            construct_query_and_database_sets,
-        )
-        from epcnet_tpu.evals import evaluate_region
-        from epcnet_tpu.train.checkpoint import CheckpointManager
+    from epcnet_tpu.evals.hooks import make_recall_eval_hook
 
-        df = scan_runs(cfg.data.dataset_root, cfg.data.runs_subdir)
-        db_sets, q_sets = construct_query_and_database_sets(
-            df, cfg.data.test_positive_radius_m,
-            only_test_regions=any_in_test_regions(df),
-        )
-        best_mgr = CheckpointManager(f"{cfg.log_dir}/ckpt_best", keep=1)
-        best = {"recall": -1.0}
-
-        def on_epoch_end(tr, epoch):
-            if (epoch + 1) % args.eval_every_epochs:
-                return
-            m = evaluate_region(
-                tr.embed_fn, tr.state.params, tr.state.batch_stats,
-                db_sets, q_sets, cfg.data, cfg.eval, mesh,
-            )
-            r1 = float(m["recall_at"][0])
-            tr.metrics.write(int(tr.state.step), {"eval_recall_at_1": r1},
-                             epoch=epoch)
-            log_string(f"epoch {epoch}: eval recall@1={100 * r1:.2f}%")
-            if r1 > best["recall"]:
-                best["recall"] = r1
-                best_mgr.save(tr.state)
-                log_string(f"new best recall@1 -> {cfg.log_dir}/ckpt_best")
+    on_epoch_end, finalize_eval = make_recall_eval_hook(
+        cfg, mesh, args.eval_every_epochs
+    )
 
     with maybe_start_trace(args.profile_dir), PreemptionGuard() as guard:
         trainer.train(on_epoch_end=on_epoch_end, should_stop=guard)
-    if on_epoch_end is not None:
-        best_mgr.wait()
+    finalize_eval()
 
 
 if __name__ == "__main__":

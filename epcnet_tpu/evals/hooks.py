@@ -1,0 +1,57 @@
+"""Trainer epoch hooks built on the eval stack.
+
+``make_recall_eval_hook`` gives any Trainer-driven CLI (train, distill) the
+in-training recall@1 evaluation + best-checkpoint retention behaviour
+(SURVEY.md §5.3 "best-recall retention"): every N epochs, embed the
+dataset's test sets with the current params, log recall@1, and keep the
+best-scoring checkpoint in ``<log_dir>/ckpt_best``.
+"""
+
+from __future__ import annotations
+
+from epcnet_tpu.data.tuples import (
+    any_in_test_regions,
+    construct_query_and_database_sets,
+    scan_runs,
+)
+from epcnet_tpu.evals.recall import evaluate_region
+from epcnet_tpu.train.checkpoint import CheckpointManager
+from epcnet_tpu.utils.logging import log_string
+
+
+def make_recall_eval_hook(cfg, mesh, every_epochs: int):
+    """Build (on_epoch_end, finalize) for ``Trainer.train``.
+
+    ``on_epoch_end(trainer, epoch)`` runs the recall eval every
+    ``every_epochs`` epochs and retains the best checkpoint;
+    ``finalize()`` drains the async best-checkpoint save. Returns
+    ``(None, no-op)`` when ``every_epochs`` <= 0.
+    """
+    if every_epochs <= 0:
+        return None, (lambda: None)
+
+    df = scan_runs(cfg.data.dataset_root, cfg.data.runs_subdir)
+    db_sets, q_sets = construct_query_and_database_sets(
+        df, cfg.data.test_positive_radius_m,
+        only_test_regions=any_in_test_regions(df),
+    )
+    best_mgr = CheckpointManager(f"{cfg.log_dir}/ckpt_best", keep=1)
+    best = {"recall": -1.0}
+
+    def on_epoch_end(tr, epoch):
+        if (epoch + 1) % every_epochs:
+            return
+        m = evaluate_region(
+            tr.embed_fn, tr.state.params, tr.state.batch_stats,
+            db_sets, q_sets, cfg.data, cfg.eval, mesh,
+        )
+        r1 = float(m["recall_at"][0])
+        tr.metrics.write(int(tr.state.step), {"eval_recall_at_1": r1},
+                         epoch=epoch)
+        log_string(f"epoch {epoch}: eval recall@1={100 * r1:.2f}%")
+        if r1 > best["recall"]:
+            best["recall"] = r1
+            best_mgr.save(tr.state)
+            log_string(f"new best recall@1 -> {cfg.log_dir}/ckpt_best")
+
+    return on_epoch_end, best_mgr.wait

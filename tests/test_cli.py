@@ -324,3 +324,39 @@ def test_distill_mesh_cli(cli_root, tmp_path):
     distill_main(dargs)
     recs = [json.loads(l) for l in open(os.path.join(student_dir, "distill.jsonl"))]
     assert recs and all(np.isfinite(r["loss"]) for r in recs)
+
+def test_distill_eval_retention_cli(cli_root, tmp_path):
+    """Distill --eval_every_epochs: student recall eval + ckpt_best retention
+    (the shared evals/hooks.py hook wired into the distill driver)."""
+    from epcnet_tpu.cli.distill import main as distill_main
+    from epcnet_tpu.cli.train import main as train_main
+    import json, os
+
+    teacher_dir = str(tmp_path / "teacher")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", teacher_dir]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+
+    student_dir = str(tmp_path / "student")
+    distill_main([
+        "--dataset_root", cli_root, "--teacher_log_dir", teacher_dir,
+        "--log_dir", student_dir, "--eval_every_epochs", "1",
+        "--set", "data.num_negatives=3", "--set", "data.num_positives=1",
+        "--set", "model.proxyconv_channels=4,4",
+        "--set", "model.lift_channels=8,16", "--set", "model.feature_dim=16",
+        "--set", "model.vlad_clusters=4", "--set", "model.vlad_groups=2",
+        "--set", "model.vlad_group_dim=8",
+    ])
+    assert os.path.isdir(os.path.join(student_dir, "ckpt_best"))
+    recs = [json.loads(l) for l in open(os.path.join(student_dir, "distill.jsonl"))]
+    assert any("eval_recall_at_1" in r for r in recs)
