@@ -67,9 +67,13 @@ class MiningCache:
                 self.data_cfg.num_points,
                 out=buf[: len(batch_ids)],
             )
-            x = jnp.asarray(buf)
-            if sharding is not None:
-                x = jax.device_put(x, sharding)
+            # one transfer: straight from host numpy to the target sharding
+            # (jnp.asarray-then-reshard would copy twice on mesh runs)
+            x = (
+                jnp.asarray(buf)
+                if sharding is None
+                else jax.device_put(buf, sharding)
+            )
             device_chunks.append(self.embed_fn(params, batch_stats, x))
         all_latents = jnp.concatenate(device_chunks, axis=0)[:n]
         self.latents = np.asarray(all_latents)  # single host transfer
