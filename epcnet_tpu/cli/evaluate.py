@@ -119,7 +119,11 @@ def main(argv=None):
             cfg.eval.batch_size,
         )
         lat = retrieval_latency_probe(db_desc, cfg.eval.latency_probe_queries, cfg.eval.top_k, mesh)
-        log_string(f"retrieval latency p50={lat['p50_ms']:.3f}ms p99={lat['p99_ms']:.3f}ms")
+        log_string(
+            f"retrieval latency p50={lat['p50_ms']:.3f}ms "
+            f"p99={lat['p99_ms']:.3f}ms "
+            f"device={lat['device_ms']:.3f}ms (dispatch-free)"
+        )
 
 
 if __name__ == "__main__":

@@ -77,6 +77,7 @@ def main(argv=None):
             runs_subdir=cfg.data.runs_subdir,
         )
 
+    df = None
     if args.tuples_pickle:
         tuples = TrainingTuples(load_pickle(args.tuples_pickle))
     else:
@@ -102,7 +103,7 @@ def main(argv=None):
     from epcnet_tpu.evals.hooks import make_recall_eval_hook
 
     on_epoch_end, finalize_eval = make_recall_eval_hook(
-        cfg, mesh, args.eval_every_epochs
+        cfg, mesh, args.eval_every_epochs, df=df
     )
 
     with maybe_start_trace(args.profile_dir), PreemptionGuard() as guard:

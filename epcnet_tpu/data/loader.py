@@ -61,7 +61,8 @@ def get_query_tuple(
         return None
     need = cfg.num_negatives - len(negs)
     if need > 0:
-        fresh = [int(p) for p in pool if int(p) not in set(negs)]
+        taken = set(negs)
+        fresh = [int(p) for p in pool if int(p) not in taken]
         if len(fresh) >= need:
             negs.extend(int(x) for x in rng.choice(fresh, need, replace=False))
         else:
@@ -86,7 +87,12 @@ def get_query_tuple(
     # ONE native batch load for the whole tuple (GIL-free parallel reads)
     load_ids = [idx, *[int(i) for i in pos_ids], *negs] + ([other] if other is not None else [])
     files = [tuples.queries[i]["query"] for i in load_ids]
-    pts = load_pc_files_native(files, cfg.dataset_root, cfg.num_points, n_threads=4)
+    # one consistent pool size across ALL native-loader callers: the C++
+    # pool is global and rebuilt whenever the requested size changes, so
+    # mismatched sizes would thrash it between tuple loads and mining sweeps
+    pts = load_pc_files_native(
+        files, cfg.dataset_root, cfg.num_points, n_threads=cfg.loader_threads
+    )
 
     p, ng = cfg.num_positives, cfg.num_negatives
     out = {

@@ -9,6 +9,9 @@ best-scoring checkpoint in ``<log_dir>/ckpt_best``.
 
 from __future__ import annotations
 
+import json
+import os
+
 from epcnet_tpu.data.tuples import (
     any_in_test_regions,
     construct_query_and_database_sets,
@@ -19,24 +22,35 @@ from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.utils.logging import log_string
 
 
-def make_recall_eval_hook(cfg, mesh, every_epochs: int):
+def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None):
     """Build (on_epoch_end, finalize) for ``Trainer.train``.
 
     ``on_epoch_end(trainer, epoch)`` runs the recall eval every
     ``every_epochs`` epochs and retains the best checkpoint;
     ``finalize()`` drains the async best-checkpoint save. Returns
     ``(None, no-op)`` when ``every_epochs`` <= 0.
+
+    The best score persists in ``<log_dir>/best_recall.json`` so a
+    preempted-and-resumed run cannot overwrite ``ckpt_best`` with a
+    worse checkpoint — retention survives exactly the restart path it
+    exists for (SURVEY.md §5.3). ``df``: pass the already-scanned runs
+    DataFrame to skip a second dataset walk.
     """
     if every_epochs <= 0:
         return None, (lambda: None)
 
-    df = scan_runs(cfg.data.dataset_root, cfg.data.runs_subdir)
+    if df is None:
+        df = scan_runs(cfg.data.dataset_root, cfg.data.runs_subdir)
     db_sets, q_sets = construct_query_and_database_sets(
         df, cfg.data.test_positive_radius_m,
         only_test_regions=any_in_test_regions(df),
     )
     best_mgr = CheckpointManager(f"{cfg.log_dir}/ckpt_best", keep=1)
+    best_path = os.path.join(cfg.log_dir, "best_recall.json")
     best = {"recall": -1.0}
+    if os.path.isfile(best_path):
+        best["recall"] = float(json.load(open(best_path))["recall_at_1"])
+        log_string(f"best-recall retention resumes at {100 * best['recall']:.2f}%")
 
     def on_epoch_end(tr, epoch):
         if (epoch + 1) % every_epochs:
@@ -52,6 +66,8 @@ def make_recall_eval_hook(cfg, mesh, every_epochs: int):
         if r1 > best["recall"]:
             best["recall"] = r1
             best_mgr.save(tr.state)
+            with open(best_path, "w") as f:
+                json.dump({"recall_at_1": r1, "step": int(tr.state.step)}, f)
             log_string(f"new best recall@1 -> {cfg.log_dir}/ckpt_best")
 
     return on_epoch_end, best_mgr.wait

@@ -39,7 +39,7 @@ class MiningCache:
         self.embed_fn = embed_fn
         self.batch_size = batch_size
         self.latents: np.ndarray | None = None  # [num_tuples, D]
-        self._rng = np.random.default_rng(train_cfg.seed + 17)
+        self._generation = 0  # bumped per refresh; keys the sampling RNG
 
     def refresh(self, params, batch_stats, sharding=None) -> None:
         """Re-embed every training submap (the reference's get_latent_vectors
@@ -66,6 +66,7 @@ class MiningCache:
                 self.data_cfg.dataset_root,
                 self.data_cfg.num_points,
                 out=buf[: len(batch_ids)],
+                n_threads=self.data_cfg.loader_threads,
             )
             # one transfer: straight from host numpy to the target sharding
             # (jnp.asarray-then-reshard would copy twice on mesh runs)
@@ -77,11 +78,21 @@ class MiningCache:
             device_chunks.append(self.embed_fn(params, batch_stats, x))
         all_latents = jnp.concatenate(device_chunks, axis=0)[:n]
         self.latents = np.asarray(all_latents)  # single host transfer
+        self._generation += 1
 
     def hard_negatives(self, query_idx: int) -> list[int] | None:
         """Hardest negatives for a query: its cached-latent nearest negatives
-        [LINEAGE: train.py get_random_hard_negatives]."""
-        if self.latents is None:
+        [LINEAGE: train.py get_random_hard_negatives].
+
+        Called concurrently from the loader's worker threads: the latents
+        reference is snapshotted once (a mid-call ``refresh`` swap cannot mix
+        two embedding generations within one tuple), and the subsampling RNG
+        is freshly derived per (seed, generation, query) — stateless, so it
+        is thread-safe AND scheduling-independent (the loader's determinism
+        contract holds regardless of which worker runs which tuple).
+        """
+        lat = self.latents  # snapshot: refresh() swaps the reference atomically
+        if lat is None:
             return None
         entry = self.tuples.queries[query_idx]
         pool = entry["negatives"]
@@ -89,9 +100,12 @@ class MiningCache:
             return None
         cap = self.train_cfg.sampled_neg_pool
         if len(pool) > cap:
-            pool = list(self._rng.choice(pool, cap, replace=False))
-        cand = self.latents[np.asarray(pool, np.int64)]
-        qv = self.latents[query_idx]
+            rng = np.random.default_rng(
+                (self.train_cfg.seed, 17, self._generation, query_idx)
+            )
+            pool = list(rng.choice(pool, cap, replace=False))
+        cand = lat[np.asarray(pool, np.int64)]
+        qv = lat[query_idx]
         d = np.sum((cand - qv) ** 2, axis=-1)
         k = min(self.train_cfg.hard_neg_per_tuple, len(pool))
         hardest = np.argpartition(d, k - 1)[:k]

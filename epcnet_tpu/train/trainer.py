@@ -51,6 +51,13 @@ class Trainer:
         place of the standard quadruplet step. The full Trainer feature set
         (resume, preemption, mesh DP, mining, TB metrics) applies to it;
         ``steps_per_dispatch`` fusion only supports the standard step."""
+        if "quadruplet" in cfg.train.loss and not cfg.data.use_other_neg:
+            raise ValueError(
+                f"train.loss={cfg.train.loss!r} needs the tuple's fourth "
+                "element: set data.use_other_neg=true (or pick a triplet "
+                "loss) — failing fast instead of a KeyError('other_neg') "
+                "inside the first jitted step"
+            )
         self.cfg = cfg
         self.tuples = tuples
         self.mesh = mesh
@@ -235,6 +242,7 @@ class Trainer:
                         preempted = True
                         break
             if preempted:
+                self.loader.stop()  # unblock the producer thread + pool
                 step = int(self.state.step)
                 if self.ckpt is not None:
                     self.ckpt.save(self.state)

@@ -23,6 +23,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -56,9 +57,29 @@ int load_one(const char* path, int64_t n_points, float* __restrict__ out) {
   return 0;
 }
 
+// Per-call completion latch: each in-flight batch owns one, so any number
+// of caller threads (loader workers, mining sweep, eval embed) can submit
+// CONCURRENTLY and the worker pool interleaves their files — no
+// batch-granular serialization.
+struct Batch {
+  std::atomic<int64_t> remaining;
+  std::atomic<int64_t> failed{0};  // first-fail file index + 1
+  std::mutex mu;
+  std::condition_variable cv;
+  explicit Batch(int64_t n) : remaining(n) {}
+};
+
+struct Task {
+  const char* path;
+  int64_t n_points;
+  float* out;
+  int64_t index;  // within its batch (failure reporting)
+  Batch* batch;
+};
+
 class Pool {
  public:
-  explicit Pool(int n_threads) : stop_(false), batch_id_(0), pending_(0) {
+  explicit Pool(int n_threads) : stop_(false) {
     for (int t = 0; t < n_threads; ++t)
       threads_.emplace_back([this]() { this->run(); });
   }
@@ -72,69 +93,61 @@ class Pool {
     for (auto& th : threads_) th.join();
   }
 
-  // Blocks until the whole batch is done. Returns 0 or first-fail index + 1.
+  // Blocks until this batch is done. Returns 0 or first-fail index + 1.
+  // Thread-safe: concurrent calls share the worker pool task queue.
   int64_t load_batch(const char** paths, int64_t n_files, int64_t n_points,
                      float* out) {
-    std::unique_lock<std::mutex> lk(mu_);
-    paths_ = paths;
-    n_files_ = n_files;
-    n_points_ = n_points;
-    out_ = out;
-    next_.store(0);
-    failed_.store(0);
-    pending_ = n_files;
-    ++batch_id_;
+    if (n_files <= 0) return 0;
+    Batch batch(n_files);
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      for (int64_t i = 0; i < n_files; ++i)
+        queue_.push_back(Task{paths[i], n_points, out + i * n_points * 3, i,
+                              &batch});
+    }
     cv_work_.notify_all();
-    cv_done_.wait(lk, [this]() { return pending_ == 0; });
-    return failed_.load();
+    std::unique_lock<std::mutex> lk(batch.mu);
+    batch.cv.wait(lk, [&]() { return batch.remaining.load() == 0; });
+    return batch.failed.load();
   }
 
  private:
   void run() {
-    uint64_t seen_batch = 0;
     for (;;) {
+      Task task;
       {
         std::unique_lock<std::mutex> lk(mu_);
-        cv_work_.wait(lk, [&]() { return stop_ || batch_id_ != seen_batch; });
+        cv_work_.wait(lk, [&]() { return stop_ || !queue_.empty(); });
         if (stop_) return;
-        seen_batch = batch_id_;
+        task = queue_.front();
+        queue_.pop_front();
       }
-      int64_t done_here = 0;
-      for (;;) {
-        const int64_t i = next_.fetch_add(1);
-        if (i >= n_files_) break;
-        if (load_one(paths_[i], n_points_, out_ + i * n_points_ * 3) != 0) {
-          int64_t expect = 0;
-          failed_.compare_exchange_strong(expect, i + 1);
-        }
-        ++done_here;
+      if (load_one(task.path, task.n_points, task.out) != 0) {
+        int64_t expect = 0;
+        task.batch->failed.compare_exchange_strong(expect, task.index + 1);
       }
-      if (done_here) {
-        std::lock_guard<std::mutex> lk(mu_);
-        pending_ -= done_here;
-        if (pending_ == 0) cv_done_.notify_all();
-      } else {
-        // Raced past the batch: account nothing, but re-check completion.
-        std::lock_guard<std::mutex> lk(mu_);
-        if (pending_ == 0) cv_done_.notify_all();
+      {
+        // Decrement UNDER the batch mutex: the waiter's predicate check
+        // also runs under it, so it cannot observe remaining==0 (and
+        // destroy the stack-allocated Batch) while this worker still
+        // holds a reference — a spurious wakeup would otherwise race a
+        // fetch_sub-then-lock sequence into use-after-free.
+        std::lock_guard<std::mutex> lk(task.batch->mu);
+        if (task.batch->remaining.fetch_sub(1) == 1)
+          task.batch->cv.notify_all();
       }
     }
   }
 
   std::vector<std::thread> threads_;
   std::mutex mu_;
-  std::condition_variable cv_work_, cv_done_;
+  std::condition_variable cv_work_;
   bool stop_;
-  uint64_t batch_id_;
-  int64_t pending_;
-  const char** paths_ = nullptr;
-  int64_t n_files_ = 0, n_points_ = 0;
-  float* out_ = nullptr;
-  std::atomic<int64_t> next_{0}, failed_{0};
+  std::deque<Task> queue_;
 };
 
 std::mutex g_pool_mu;
-Pool* g_pool = nullptr;
+Pool* g_pool = nullptr;  // created once, process-lifetime (intentional leak)
 int g_pool_threads = 0;
 
 }  // namespace
@@ -142,16 +155,20 @@ int g_pool_threads = 0;
 extern "C" {
 
 // Load `n_files` submaps into `out` [n_files, n_points, 3] float32 using a
-// persistent pool of `n_threads` workers (pool is (re)built if the size
-// changes). Returns 0 on success; else the index of the first failure + 1.
+// persistent worker pool. The pool is sized by the FIRST call's `n_threads`
+// and shared by all callers thereafter (concurrent batches interleave on
+// the shared task queue — keep caller-side n_threads consistent, e.g.
+// DataConfig.loader_threads). Returns 0 on success; else the index of the
+// first failure + 1.
 int64_t epcnet_load_batch(const char** paths, int64_t n_files,
                           int64_t n_points, float* out, int n_threads) {
   if (n_threads < 1) n_threads = 1;
-  std::lock_guard<std::mutex> lk(g_pool_mu);
-  if (g_pool == nullptr || g_pool_threads != n_threads) {
-    delete g_pool;
-    g_pool = new Pool(n_threads);
-    g_pool_threads = n_threads;
+  {
+    std::lock_guard<std::mutex> lk(g_pool_mu);
+    if (g_pool == nullptr) {
+      g_pool = new Pool(n_threads);
+      g_pool_threads = n_threads;
+    }
   }
   return g_pool->load_batch(paths, n_files, n_points, out);
 }

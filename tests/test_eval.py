@@ -41,3 +41,10 @@ def test_latency_probe_returns_percentiles(rng):
     db = rng.randn(128, 32).astype(np.float32)
     out = retrieval_latency_probe(db, num_queries=10, top_k=5)
     assert out["p50_ms"] > 0 and out["p99_ms"] >= out["p50_ms"]
+    assert out["device_ms"] >= 0  # dispatch-free scan-delta view
+
+
+def test_latency_probe_sharded(rng, mesh8):
+    db = rng.randn(512, 64).astype(np.float32)
+    out = retrieval_latency_probe(db, num_queries=6, top_k=5, mesh=mesh8)
+    assert out["p50_ms"] > 0 and out["device_ms"] >= 0

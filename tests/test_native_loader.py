@@ -58,3 +58,33 @@ def test_native_short_file_raises(tmp_path):
     np.zeros(5).tofile(p)
     with pytest.raises(IOError):
         load_pc_files_native([str(p)], num_points=256)
+
+def test_concurrent_batches_share_pool(synthetic_root):
+    """Concurrent load_pc_files_native calls from multiple Python threads
+    interleave on the shared worker pool (the task-queue redesign): every
+    batch's contents must be correct and complete."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from epcnet_tpu.data.native_loader import load_pc_files_native
+    from epcnet_tpu.data.tuples import scan_runs
+
+    df = scan_runs(synthetic_root)
+    files = list(df["file"]) if "file" in df else [
+        r["query"] for r in df.to_dict("records")
+    ]
+    files = files[:24]
+
+    def load(seed):
+        rng = np.random.default_rng(seed)
+        picks = [files[int(i)] for i in rng.integers(0, len(files), 16)]
+        out = load_pc_files_native(picks, synthetic_root, 128, n_threads=4)
+        # verify against the single-file reference loads
+        want = load_pc_files_native(picks, synthetic_root, 128, n_threads=1)
+        np.testing.assert_array_equal(out, want)
+        return out.shape
+
+    with ThreadPoolExecutor(6) as ex:
+        shapes = list(ex.map(load, range(12)))
+    assert all(s == (16, 128, 3) for s in shapes)
