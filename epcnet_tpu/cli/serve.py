@@ -60,6 +60,15 @@ def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
+        def _points(self, req, ndim: int) -> "np.ndarray":
+            pts = np.asarray(req["points"], np.float32)
+            if pts.ndim != ndim or pts.shape[-1] != 3:
+                raise ValueError(
+                    f"points must be rank-{ndim} with a trailing xyz axis; "
+                    f"got shape {pts.shape}"
+                )
+            return pts
+
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -68,15 +77,20 @@ def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
                 return self._reply(400, {"error": f"bad request body: {e}"})
             try:
                 if self.path == "/embed":
-                    pts = np.asarray(req["points"], np.float32)
+                    pts = self._points(req, 3)
                     self._reply(200, {"descriptors": index.embed(pts).tolist()})
                 elif self.path == "/add":
-                    pts = np.asarray(req["points"], np.float32)
+                    pts = self._points(req, 3)
                     index.add(pts, metadata=req.get("metadata"))
                     self._reply(200, {"size": len(index)})
                 elif self.path == "/query":
-                    pts = np.asarray(req["points"], np.float32)  # [N, 3]
+                    pts = self._points(req, 2)  # [N, 3] one submap
                     k = int(req.get("k", default_k))
+                    if k > sched.k:
+                        return self._reply(400, {
+                            "error": f"k={k} exceeds the server's --k={sched.k}; "
+                            "raise --k or request fewer neighbours"
+                        })
                     ids, dists = sched.submit(pts).result(timeout=60)
                     ids, dists = ids[:k], dists[:k]
                     self._reply(200, {
@@ -85,14 +99,16 @@ def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
                         "metadata": index.metadata(ids),
                     })
                 elif self.path == "/query_batch":
-                    pts = np.asarray(req["points"], np.float32)  # [B, N, 3]
+                    pts = self._points(req, 3)  # [B, N, 3]
                     k = int(req.get("k", default_k))
                     ids, dists = index.query(pts, k)
                     self._reply(200, {"ids": ids.tolist(), "sqdists": dists.tolist()})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
-            except (KeyError, ValueError, IndexError) as e:
+            except (KeyError, ValueError, IndexError, TypeError) as e:
                 self._reply(400, {"error": repr(e)})
+            except Exception as e:  # timeouts, device errors: JSON 500, not a dropped socket
+                self._reply(500, {"error": repr(e)})
 
     return Handler
 
@@ -123,14 +139,28 @@ def main(argv=None):
     ap.add_argument("--save_on_exit", default=None, help="persist DB on shutdown")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the retrieval DB over devices")
+    ap.add_argument("--db_axis", type=int, default=0,
+                    help="devices on the retrieval 'db' axis (0 = ALL — "
+                    "serving has no data-parallel training axis)")
     args = ap.parse_args(argv)
+
+    from epcnet_tpu.parallel import maybe_initialize_distributed
+
+    # must precede any JAX call (same contract as train/evaluate)
+    maybe_initialize_distributed()
 
     mesh = None
     if args.mesh:
+        import jax
+
         from epcnet_tpu.configs import MeshConfig
         from epcnet_tpu.parallel import make_multislice_mesh
 
-        mesh = make_multislice_mesh(MeshConfig())
+        # serving shards the DESCRIPTOR DB: default every device onto the
+        # "db" axis (a db_axis=1 mesh would silently never take the sharded
+        # retrieval path in PlaceIndex.query_descriptors)
+        db_axis = args.db_axis or len(jax.devices())
+        mesh = make_multislice_mesh(MeshConfig(data_axis=-1, db_axis=db_axis))
     index = PlaceIndex.from_checkpoint(
         args.log_dir, mesh=mesh, embed_batch=args.embed_batch
     )

@@ -439,6 +439,12 @@ def knn_adjacency(
     (8x less HBM; consume with ops/adjacency.py packed_neighbor_mean)."""
     from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean, pack_indicator
 
+    # Same contract on BOTH backends (a with_idx combination that only the
+    # jnp twin accepted would break at first TPU run):
+    if with_idx and (with_proxy or fmt == "packed"):
+        raise ValueError(
+            "with_proxy / fmt='packed' require with_idx=False (model path)"
+        )
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "jnp"
     if impl == "pallas":

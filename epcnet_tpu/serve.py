@@ -223,14 +223,21 @@ class QueryScheduler:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            try:
-                pts = np.stack([b[0] for b in batch])
-                ids, dists = self.index.query(pts, self.k)
-                for i, (_, fut) in enumerate(batch):
-                    fut.set_result((ids[i], dists[i]))
-            except Exception as e:  # propagate to every waiting caller
-                for _, fut in batch:
-                    fut.set_exception(e)
+            # group by shape: one odd-sized (or malformed) request must not
+            # poison the other callers' micro-batch — each shape group is
+            # served (and fails) independently
+            groups: dict = {}
+            for pts, fut in batch:
+                groups.setdefault(getattr(pts, "shape", None), []).append((pts, fut))
+            for group in groups.values():
+                try:
+                    pts = np.stack([g[0] for g in group])
+                    ids, dists = self.index.query(pts, self.k)
+                    for i, (_, fut) in enumerate(group):
+                        fut.set_result((ids[i], dists[i]))
+                except Exception as e:  # propagate to this group's callers only
+                    for _, fut in group:
+                        fut.set_exception(e)
 
     def stop(self) -> None:
         self._stop.set()

@@ -80,9 +80,18 @@ struct Task {
 class Pool {
  public:
   explicit Pool(int n_threads) : stop_(false) {
-    for (int t = 0; t < n_threads; ++t)
+    grow(n_threads);
+  }
+
+  // Grow-only resize: adding workers to the shared queue is always safe
+  // (they just start pulling tasks); shrinking is never needed. Caller
+  // holds g_pool_mu.
+  void grow(int n_threads) {
+    while (static_cast<int>(threads_.size()) < n_threads)
       threads_.emplace_back([this]() { this->run(); });
   }
+
+  int size() const { return static_cast<int>(threads_.size()); }
 
   ~Pool() {
     {
@@ -155,20 +164,19 @@ int g_pool_threads = 0;
 extern "C" {
 
 // Load `n_files` submaps into `out` [n_files, n_points, 3] float32 using a
-// persistent worker pool. The pool is sized by the FIRST call's `n_threads`
-// and shared by all callers thereafter (concurrent batches interleave on
-// the shared task queue — keep caller-side n_threads consistent, e.g.
-// DataConfig.loader_threads). Returns 0 on success; else the index of the
-// first failure + 1.
+// persistent worker pool shared by all callers (concurrent batches
+// interleave on one task queue). The pool GROWS to the largest `n_threads`
+// ever requested and never shrinks — a small first caller cannot pin the
+// process at degraded parallelism. Returns 0 on success; else the index of
+// the first failure + 1.
 int64_t epcnet_load_batch(const char** paths, int64_t n_files,
                           int64_t n_points, float* out, int n_threads) {
   if (n_threads < 1) n_threads = 1;
   {
     std::lock_guard<std::mutex> lk(g_pool_mu);
-    if (g_pool == nullptr) {
-      g_pool = new Pool(n_threads);
-      g_pool_threads = n_threads;
-    }
+    if (g_pool == nullptr) g_pool = new Pool(n_threads);
+    else if (g_pool->size() < n_threads) g_pool->grow(n_threads);
+    g_pool_threads = g_pool->size();
   }
   return g_pool->load_batch(paths, n_files, n_points, out);
 }

@@ -168,7 +168,8 @@ def test_knn_adjacency_front_end_proxy(rng):
     from epcnet_tpu.ops.knn import knn_adjacency
 
     x = jnp.asarray(rng.randn(1, 96, 3).astype(np.float32))
-    idx, adj, proxy = knn_adjacency(x, 5, impl="jnp", with_proxy=True)
+    idx, adj, proxy = knn_adjacency(x, 5, impl="jnp", with_proxy=True,
+                                    with_idx=False)
     want = neighbor_mean(
         x.astype(jnp.bfloat16), adjacency=adj, compute_dtype=jnp.bfloat16,
         adjacency_scale=1.0 / 5,

@@ -282,3 +282,31 @@ def test_http_server_endpoints(tiny_model_cfg, rng):
     finally:
         srv.shutdown()
         sched.stop()
+
+
+def test_scheduler_mixed_shapes_isolated(tiny_model_cfg, rng):
+    """Mixed-shape concurrent submissions are grouped per shape, so a
+    different-sized submap neither poisons the others' batch nor fails —
+    each group is served at its own compiled shape."""
+    from epcnet_tpu.serve import QueryScheduler
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    index = PlaceIndex(
+        embed, state.params, state.batch_stats,
+        descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4, block_rows=64,
+    )
+    pts = rng.uniform(-1, 1, (6, 128, 3)).astype(np.float32)
+    index.add(pts)
+    sched = QueryScheduler(index, k=2, max_wait_ms=30.0)
+    try:
+        good = [sched.submit(pts[i]) for i in range(3)]
+        odd = sched.submit(pts[0][:64])  # different point count: own group
+        for i, f in enumerate(good):
+            ids, _ = f.result(timeout=60)
+            assert ids[0] == i  # self-retrieval unaffected by the odd request
+        ids, dists = odd.result(timeout=60)
+        assert ids.shape == (2,) and np.isfinite(dists).all()
+    finally:
+        sched.stop()
