@@ -109,9 +109,20 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t_lo = measure(f_lo)
-    t_hi = measure(f_hi)
-    per_batch = max((t_hi - t_lo) / (c_hi - c_lo), 1e-9)
+    # Noise guard: a negative/near-zero delta is a broken measurement, not a
+    # 10^10-submaps/s chip — remeasure rather than print an absurd headline.
+    per_batch = 0.0
+    for _ in range(4):
+        t_lo = measure(f_lo)
+        t_hi = measure(f_hi)
+        per_batch = (t_hi - t_lo) / (c_hi - c_lo)
+        if per_batch > 3e-4:  # >0.3 ms/batch: clearly resolved
+            break
+    if per_batch <= 3e-4:
+        raise RuntimeError(
+            f"scan-delta measurement unresolved (delta {per_batch * 1e3:.3f} "
+            "ms/batch after 4 attempts) — refusing to report a garbage number"
+        )
     sps = batch / per_batch
 
     # Utilization (absolute, independent of the assumed GPU denominator):

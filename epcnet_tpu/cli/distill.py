@@ -13,12 +13,12 @@ mesh DP, hard-negative mining, and JSONL/TensorBoard metrics.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 import jax
 
 from epcnet_tpu.configs import (
-    DataConfig,
     ExperimentConfig,
     apply_overrides,
     epcnet_l_config,
@@ -71,10 +71,13 @@ def main(argv=None):
         use_pallas=teacher_cfg.use_pallas,
         output_dim=teacher_cfg.output_dim,
     )
+    # inherit the TEACHER's data plane (runs_subdir, radii, tuple shape,
+    # augmentation) — only the root changes; a default DataConfig here would
+    # silently mismatch the teacher's training distribution
     cfg = ExperimentConfig(
         model=student_cfg,
-        data=DataConfig(
-            dataset_root=args.dataset_root, num_points=teacher_cfg.num_points
+        data=dataclasses.replace(
+            teacher_exp.data, dataset_root=args.dataset_root
         ),
         train=teacher_exp.train,
         log_dir=args.log_dir,
@@ -85,13 +88,22 @@ def main(argv=None):
 
     teacher_state = create_train_state(teacher_cfg, teacher_exp.train)
     tmgr = CheckpointManager(f"{args.teacher_log_dir}/ckpt")
-    teacher_state = tmgr.restore(teacher_state)
+    teacher_state = tmgr.restore(teacher_state, require=True)
     log_string(f"teacher restored at step {int(teacher_state.step)}")
     teacher_vars = {
         "params": teacher_state.params,
         "batch_stats": teacher_state.batch_stats,
     }
 
+    if args.synthetic and not os.path.isdir(
+        os.path.join(cfg.data.dataset_root, cfg.data.runs_subdir)
+    ):
+        from epcnet_tpu.data.synthetic import generate_synthetic_dataset
+
+        generate_synthetic_dataset(
+            cfg.data.dataset_root, num_points=cfg.data.num_points,
+            runs_subdir=cfg.data.runs_subdir,
+        )
     df = scan_runs(cfg.data.dataset_root, cfg.data.runs_subdir)
     tuples = construct_query_dict(
         df,

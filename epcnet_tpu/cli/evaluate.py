@@ -43,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--latency_probe", action="store_true")
     ap.add_argument("--output", default=None, help="default <log_dir>/results.txt")
     args = ap.parse_args(argv)
+    if bool(args.database_pickle) != bool(args.query_pickle):
+        ap.error("--database_pickle and --query_pickle must be given together")
 
     # MUST precede any JAX call (create_train_state below initializes the
     # XLA backend; jax.distributed.initialize refuses to run after that).
@@ -61,10 +63,22 @@ def main(argv=None):
 
     state = create_train_state(cfg.model, cfg.train)
     mgr = CheckpointManager(f"{args.log_dir}/ckpt", cfg.train.keep_checkpoints)
-    state = mgr.restore(state)
+    state = mgr.restore(state, require=True)
     log_string(f"restored checkpoint at step {int(state.step)}")
     embed = build_embed_fn(cfg.model)
-    mesh = make_multislice_mesh(cfg.mesh) if args.mesh else None
+    mesh = None
+    if args.mesh:
+        # evaluation uses the mesh for RETRIEVAL only: default every device
+        # onto the "db" axis (the training config's db_axis=1 would never
+        # take the sharded path — same trap cli/serve.py guards against)
+        mcfg = cfg.mesh
+        if mcfg.db_axis <= 1:
+            import dataclasses as _dc
+
+            import jax as _jax
+
+            mcfg = _dc.replace(mcfg, data_axis=-1, db_axis=len(_jax.devices()))
+        mesh = make_multislice_mesh(mcfg)
 
     regions = {}
     if args.database_pickle:

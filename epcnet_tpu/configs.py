@@ -223,9 +223,14 @@ def apply_overrides(cfg: ExperimentConfig, overrides: Sequence[str]) -> Experime
         parts = key.strip().split(".")
         cur = d
         for p in parts[:-1]:
+            # friendly errors for typo'd sections / over-deep keys too (a
+            # bare KeyError('trian') or "string indices" TypeError hides
+            # what went wrong)
+            if not isinstance(cur, dict) or p not in cur:
+                raise KeyError(f"unknown config key: {key}")
             cur = cur[p]
         leaf = parts[-1]
-        if leaf not in cur:
+        if not isinstance(cur, dict) or leaf not in cur:
             raise KeyError(f"unknown config key: {key}")
         old = cur[leaf]
         cur[leaf] = _coerce(val.strip(), old)

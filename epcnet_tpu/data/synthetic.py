@@ -5,11 +5,14 @@ download [LINEAGE]. This generator writes a tiny dataset in the SAME on-disk
 layout (runs with a locations csv + float64 .bin submaps) so every
 integration test and CI job runs the real pipeline end-to-end.
 
-Geometry: submaps are sampled from a deterministic "world" — each ~cell of
-UTM space hashes to a base cloud, so submaps taken near the same place share
-structure (plus per-visit rotation/noise) while far-apart submaps don't.
-That makes place recognition *learnable* on synthetic data: positives look
-alike, negatives don't.
+Geometry: submaps are sampled from a deterministic "world" — every
+trajectory WAYPOINT hashes to a base cloud, so revisits of the same place
+(any run, any jitter) share structure exactly (plus per-visit
+rotation/noise) while different waypoints (spacing_m apart, beyond the
+positive radius) don't. Keying by waypoint rather than a spatial grid
+avoids cell-boundary label noise: two revisits 0.3 m apart can never hash
+to different base clouds. That makes place recognition *learnable* on
+synthetic data with CLEAN labels: positives look alike, negatives don't.
 """
 
 from __future__ import annotations
@@ -41,7 +44,6 @@ def generate_synthetic_dataset(
     pointcloud_dir: str = "pointcloud_20m_10overlap",
     csv_name: str = "pointcloud_locations_20m_10overlap.csv",
     spacing_m: float = 20.0,
-    cell_m: float = 20.0,
     world_seed: int = 7,
     noise: float = 0.01,
     origin: tuple[float, float] = (5_800_000.0, 600_000.0),
@@ -72,8 +74,10 @@ def generate_synthetic_dataset(
         for s in range(submaps_per_run):
             n = origin_n + radius * np.cos(t[s]) + rng.normal(0, 2.0)
             e = origin_e + radius * np.sin(t[s]) + rng.normal(0, 2.0)
-            cell = (int(np.floor(n / cell_m)), int(np.floor(e / cell_m)))
-            pts = _cell_cloud(cell, num_points, world_seed)
+            # place identity = the waypoint (jitter-proof), disambiguated by
+            # origin so separate regions never alias base clouds
+            place = (s, int(origin_n + origin_e) % 1_000_003)
+            pts = _cell_cloud(place, num_points, world_seed)
             # per-visit variation: small rotation about z + noise (kept small
             # so place identity stays easily learnable in tiny test models)
             ang = rng.uniform(-0.2, 0.2)

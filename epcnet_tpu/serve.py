@@ -83,7 +83,7 @@ class PlaceIndex:
             else ExperimentConfig()
         )
         state = create_train_state(cfg.model, cfg.train)
-        state = CheckpointManager(f"{log_dir}/ckpt").restore(state)
+        state = CheckpointManager(f"{log_dir}/ckpt").restore(state, require=True)
         embed = build_embed_fn(cfg.model)
         return cls(
             embed,

@@ -43,7 +43,7 @@ class CheckpointManager:
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
-    def restore(self, state: TrainState) -> TrainState:
+    def restore(self, state: TrainState, require: bool = False) -> TrainState:
         """Restore the latest checkpoint into the (template) state.
 
         The payload carries (step, epoch, epoch_start_step); everything else
@@ -54,6 +54,13 @@ class CheckpointManager:
         """
         step = self._mgr.latest_step()
         if step is None:
+            if require:
+                # evaluating / distilling / serving from RANDOM INIT is a
+                # silent-garbage failure mode — demand a real checkpoint
+                raise FileNotFoundError(
+                    f"no checkpoint found under {self._mgr.directory} — "
+                    "check the --log_dir / --teacher_log_dir path"
+                )
             return state
         template = {
             "step": state.step,
