@@ -54,6 +54,11 @@ def main(argv=None):
                     help="first generate a synthetic dataset at dataset_root")
     ap.add_argument("--synthetic_runs", type=int, default=3)
     ap.add_argument("--synthetic_submaps", type=int, default=40)
+    ap.add_argument("--synthetic_hard", action="store_true",
+                    help="hard mode: each visit re-samples points from the "
+                    "place's blob layout (shared structure, disjoint points) "
+                    "— a structural-generalization check: retrieval cannot "
+                    "shortcut on point identity")
     ap.add_argument("--num_points", type=int, default=4096)
     args = ap.parse_args(argv)
 
@@ -65,6 +70,7 @@ def main(argv=None):
             args.num_points, args.runs_subdir,
             args.pointcloud_dir or "pointcloud_20m_10overlap",
             args.csv_name or "pointcloud_locations_20m_10overlap.csv",
+            resample_per_visit=args.synthetic_hard,
         )
     out_dir = args.output_dir or args.dataset_root
     if args.mode == "refine":

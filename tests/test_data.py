@@ -236,3 +236,32 @@ def test_loader_deterministic_given_seed(synthetic_root):
     assert any(ia != ic for (_, ia), (_, ic) in zip(a, c)) or not np.array_equal(
         a[0][0], c[0][0]
     )
+
+
+def test_synthetic_hard_mode_structure(tmp_path):
+    """Hard mode: revisits of a waypoint share blob STRUCTURE but not
+    points; easy mode keeps identical base points (pre-augmentation)."""
+    import numpy as np
+
+    from epcnet_tpu.data.synthetic import generate_synthetic_dataset
+    from epcnet_tpu.data.tuples import scan_runs
+    from epcnet_tpu.data.pointclouds import load_pc_file
+
+    easy = str(tmp_path / "easy")
+    hard = str(tmp_path / "hard")
+    for root, rs in ((easy, False), (hard, True)):
+        generate_synthetic_dataset(root, num_runs=2, submaps_per_run=8,
+                                   num_points=512, resample_per_visit=rs)
+
+    def cloud(root, run, s):
+        df = scan_runs(root)
+        rows = df[df["run"] == f"run_{run:02d}"]
+        return load_pc_file(rows.iloc[s]["file"], root, 512)
+
+    # hard: same waypoint, different runs -> different POINTS, similar SHAPE
+    a, b = cloud(hard, 0, 3), cloud(hard, 1, 3)
+    c = cloud(hard, 0, 6)  # a different place
+    assert not np.allclose(a, b, atol=1e-3)
+    d_same = np.linalg.norm(np.cov(a.T) - np.cov(b.T))
+    d_diff = np.linalg.norm(np.cov(a.T) - np.cov(c.T))
+    assert d_same < d_diff  # structural similarity orders correctly
