@@ -60,10 +60,11 @@ def sharded_topk_neighbors(
     """
     ndev = mesh.shape[axis]
     n = database.shape[0]
-    shard = -(-n // ndev) * ndev  # pad DB rows to a multiple of ndev
-    db = jnp.pad(
-        database, ((0, shard - n), (0, 0)), constant_values=1e6
-    )  # pad rows live far away -> never in top-k (requires n >= k)
+    # Pad so every shard holds >= k rows (a tiny DB over many devices would
+    # otherwise ask each shard for more candidates than it has rows). Pad
+    # rows live far away -> never in the final top-k (requires n >= k).
+    shard = max(-(-n // ndev), k) * ndev
+    db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=1e6)
 
     def local(q, db_shard):
         my = jax.lax.axis_index(axis)
@@ -192,7 +193,8 @@ def ring_topk_neighbors(
     """
     ndev = mesh.shape[axis]
     n = database.shape[0]
-    shard = -(-n // ndev) * ndev
+    # every shard holds >= k rows (see sharded_topk_neighbors)
+    shard = max(-(-n // ndev), k) * ndev
     db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=1e6)
 
     def local(q, db_shard):

@@ -360,3 +360,69 @@ def test_distill_eval_retention_cli(cli_root, tmp_path):
     assert os.path.isdir(os.path.join(student_dir, "ckpt_best"))
     recs = [json.loads(l) for l in open(os.path.join(student_dir, "distill.jsonl"))]
     assert any("eval_recall_at_1" in r for r in recs)
+
+def test_evaluate_mesh_cli(cli_root, tmp_path):
+    """evaluate --mesh: the db-axis default (all devices) must produce the
+    same recall as the unsharded path."""
+    from epcnet_tpu.cli.evaluate import main as eval_main
+    from epcnet_tpu.cli.train import main as train_main
+    import json, os
+
+    log_dir = str(tmp_path / "log_mesh")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+
+    eval_main(["--dataset_root", cli_root, "--log_dir", log_dir])
+    plain = json.load(open(os.path.join(log_dir, "results.json")))
+    eval_main(["--dataset_root", cli_root, "--log_dir", log_dir, "--mesh",
+               "--output", os.path.join(log_dir, "results_mesh.txt")])
+    sharded = json.load(open(os.path.join(log_dir, "results_mesh.json")))
+    assert plain["average"]["recall_at"] == sharded["average"]["recall_at"]
+
+
+def test_distill_synthetic_generates_dataset(cli_root, tmp_path):
+    """distill --synthetic with a missing dataset_root generates fixtures
+    (parity with train's flag) instead of FileNotFoundError."""
+    from epcnet_tpu.cli.distill import main as distill_main
+    from epcnet_tpu.cli.train import main as train_main
+    import os
+
+    teacher_dir = str(tmp_path / "teacher")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", teacher_dir]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+
+    fresh_root = str(tmp_path / "fresh_ds")  # does not exist yet
+    distill_main([
+        "--dataset_root", fresh_root, "--teacher_log_dir", teacher_dir,
+        "--log_dir", str(tmp_path / "student"), "--synthetic",
+        "--set", "data.num_negatives=3", "--set", "data.num_positives=1",
+        "--set", "train.max_epoch=1",
+        "--set", "model.proxyconv_channels=4,4",
+        "--set", "model.lift_channels=8,16", "--set", "model.feature_dim=16",
+        "--set", "model.vlad_clusters=4", "--set", "model.vlad_groups=2",
+        "--set", "model.vlad_group_dim=8",
+    ])
+    assert os.path.isdir(os.path.join(fresh_root, "oxford"))
+    assert os.path.isdir(os.path.join(str(tmp_path / "student"), "ckpt"))

@@ -147,3 +147,24 @@ def test_trainer_with_mesh(synthetic_root, tiny_model_cfg):
 
     recs = [json.loads(l) for l in open(cfg.log_dir + "/train.jsonl")]
     assert all(np.isfinite(r["loss"]) for r in recs)
+
+
+def test_sharded_retrieval_tiny_db(rng, mesh8):
+    """k larger than a shard's row count (tiny DB over 8 devices) must still
+    return the exact global top-k — per-shard padding covers the deficit."""
+    import numpy as np
+
+    from epcnet_tpu.ops.retrieval import (
+        ring_topk_neighbors,
+        sharded_topk_neighbors,
+        topk_neighbors,
+    )
+
+    db = jnp.asarray(rng.randn(20, 16).astype(np.float32))  # 2-3 rows/shard
+    q = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    want_i, want_d = topk_neighbors(q, db, 20)
+    for fn in (sharded_topk_neighbors, ring_topk_neighbors):
+        got_i, got_d = fn(q, db, 20, mesh8)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   rtol=1e-5, atol=1e-5)
