@@ -124,6 +124,11 @@ def make_server(
     # the scheduler serves the index's full top-k; per-request k trims it
     sched = QueryScheduler(index, k=k, max_wait_ms=max_wait_ms)
     srv = ThreadingHTTPServer((host, port), _json_handler(index, sched, k))
+    # non-daemon handler threads + block_on_close: server_close() JOINS
+    # in-flight requests, so SIGTERM shutdown genuinely drains (an /add
+    # acknowledged to a client is in the DB before --save_on_exit persists)
+    srv.daemon_threads = False
+    srv.block_on_close = True
     return srv, sched
 
 
@@ -180,6 +185,7 @@ def main(argv=None):
     try:
         srv.serve_forever()
     finally:
+        srv.server_close()  # joins in-flight handler threads (drain)
         sched.stop()
         if args.save_on_exit:
             index.save(args.save_on_exit)

@@ -103,7 +103,7 @@ def main(argv=None):
     from epcnet_tpu.evals.hooks import make_recall_eval_hook
 
     on_epoch_end, finalize_eval = make_recall_eval_hook(
-        cfg, mesh, args.eval_every_epochs, df=df
+        cfg, mesh, args.eval_every_epochs, df=df, resumed=args.restore
     )
 
     with maybe_start_trace(args.profile_dir), PreemptionGuard() as guard:

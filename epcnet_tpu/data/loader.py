@@ -151,6 +151,9 @@ class TupleLoader:
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
         """One pass over shuffled tuple indices, pool-assembled + prefetched."""
+        # stop() only cancels the CURRENT epoch: a fresh epoch (e.g. train()
+        # called again after a preemption checkpoint) starts unpoisoned
+        self._stop = threading.Event()
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.tuples.queries))
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch_depth)

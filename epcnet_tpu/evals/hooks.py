@@ -22,7 +22,7 @@ from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.utils.logging import log_string
 
 
-def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None):
+def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None, resumed=False):
     """Build (on_epoch_end, finalize) for ``Trainer.train``.
 
     ``on_epoch_end(trainer, epoch)`` runs the recall eval every
@@ -31,10 +31,12 @@ def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None):
     ``(None, no-op)`` when ``every_epochs`` <= 0.
 
     The best score persists in ``<log_dir>/best_recall.json`` so a
-    preempted-and-resumed run cannot overwrite ``ckpt_best`` with a
-    worse checkpoint — retention survives exactly the restart path it
-    exists for (SURVEY.md §5.3). ``df``: pass the already-scanned runs
-    DataFrame to skip a second dataset walk.
+    preempted-and-RESUMED run (``resumed=True``, i.e. --restore) cannot
+    overwrite ``ckpt_best`` with a worse checkpoint (SURVEY.md §5.3). A
+    fresh run in a reused log_dir starts from scratch — a stale best from
+    an earlier run must not silently suppress the new run's retention.
+    ``df``: pass the already-scanned runs DataFrame to skip a second
+    dataset walk.
     """
     if every_epochs <= 0:
         return None, (lambda: None)
@@ -49,8 +51,13 @@ def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None):
     best_path = os.path.join(cfg.log_dir, "best_recall.json")
     best = {"recall": -1.0}
     if os.path.isfile(best_path):
-        best["recall"] = float(json.load(open(best_path))["recall_at_1"])
-        log_string(f"best-recall retention resumes at {100 * best['recall']:.2f}%")
+        if resumed:
+            best["recall"] = float(json.load(open(best_path))["recall_at_1"])
+            log_string(
+                f"best-recall retention resumes at {100 * best['recall']:.2f}%"
+            )
+        else:
+            os.remove(best_path)  # fresh run: retire the previous run's best
 
     def on_epoch_end(tr, epoch):
         if (epoch + 1) % every_epochs:

@@ -94,7 +94,11 @@ def pack_indicator(indicator: jnp.ndarray) -> jnp.ndarray:
     if n % _PLANES:
         raise ValueError(f"columns {n} not divisible by {_PLANES}")
     w = n // _PLANES
-    bits = indicator.reshape(*lead, _PLANES, w).astype(jnp.int32)
+    # threshold, don't truncate: a float indicator of (1/k)*k can land at
+    # 0.99999994 in fp32 (k=41,47,...), and astype(int32) would silently
+    # zero the whole adjacency; counts >= 1 (duplicate neighbours) all
+    # pack to bit 1
+    bits = (indicator.reshape(*lead, _PLANES, w) > 0.5).astype(jnp.int32)
     packed = jnp.zeros((*lead, w), jnp.int32)
     for j in range(_PLANES):
         packed = packed | (bits[..., j, :] << j)

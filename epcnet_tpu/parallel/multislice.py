@@ -125,6 +125,11 @@ class PreemptionGuard:
     dispatch) saves a checkpoint and returns instead of dying mid-step.
     Context manager restores the previous handlers on exit. Also usable as
     the ``should_stop`` callable directly.
+
+    The SECOND signal aborts hard (KeyboardInterrupt): the flag is only
+    polled between dispatches, so a run stuck pre-dispatch (a long compile)
+    must stay interruptible — one Ctrl+C means "checkpoint then stop",
+    two mean "stop NOW".
     """
 
     def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
@@ -133,7 +138,14 @@ class PreemptionGuard:
         self.requested = False
 
     def _handle(self, signum, frame):
+        if self.requested:
+            raise KeyboardInterrupt  # second signal: abort hard
         self.requested = True
+        print(
+            "[preemption] will checkpoint after the in-flight dispatch and "
+            "stop; signal again to abort immediately",
+            flush=True,
+        )
 
     def __enter__(self) -> "PreemptionGuard":
         for s in self._signals:

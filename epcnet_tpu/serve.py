@@ -116,6 +116,12 @@ class PlaceIndex:
         self.add_descriptors(self.embed(points), metadata)
 
     def add_descriptors(self, desc: np.ndarray, metadata: Sequence | None = None) -> None:
+        if metadata is not None and len(metadata) != len(desc):
+            # a silent length mismatch would permanently skew id->metadata
+            # alignment for every later query
+            raise ValueError(
+                f"metadata length {len(metadata)} != batch size {len(desc)}"
+            )
         with self._lock:
             self._db = np.concatenate([self._db, desc.astype(np.float32)], axis=0)
             self._meta.extend(metadata if metadata is not None else [None] * len(desc))

@@ -38,8 +38,9 @@ class MiningCache:
         self.train_cfg = train_cfg
         self.embed_fn = embed_fn
         self.batch_size = batch_size
-        self.latents: np.ndarray | None = None  # [num_tuples, D]
-        self._generation = 0  # bumped per refresh; keys the sampling RNG
+        # (latents, generation) swapped as ONE tuple so concurrent readers
+        # can never pair one refresh's latents with another's RNG keying
+        self._cache: tuple[np.ndarray, int] | None = None
 
     def refresh(self, params, batch_stats, sharding=None) -> None:
         """Re-embed every training submap (the reference's get_latent_vectors
@@ -77,8 +78,13 @@ class MiningCache:
             )
             device_chunks.append(self.embed_fn(params, batch_stats, x))
         all_latents = jnp.concatenate(device_chunks, axis=0)[:n]
-        self.latents = np.asarray(all_latents)  # single host transfer
-        self._generation += 1
+        gen = 0 if self._cache is None else self._cache[1] + 1
+        # single host transfer; one atomic reference swap for readers
+        self._cache = (np.asarray(all_latents), gen)
+
+    @property
+    def latents(self) -> np.ndarray | None:
+        return self._cache[0] if self._cache is not None else None
 
     def hard_negatives(self, query_idx: int) -> list[int] | None:
         """Hardest negatives for a query: its cached-latent nearest negatives
@@ -91,9 +97,10 @@ class MiningCache:
         is thread-safe AND scheduling-independent (the loader's determinism
         contract holds regardless of which worker runs which tuple).
         """
-        lat = self.latents  # snapshot: refresh() swaps the reference atomically
-        if lat is None:
+        cache = self._cache  # ONE read: (latents, generation) stay paired
+        if cache is None:
             return None
+        lat, generation = cache
         entry = self.tuples.queries[query_idx]
         pool = entry["negatives"]
         if not pool:
@@ -101,7 +108,7 @@ class MiningCache:
         cap = self.train_cfg.sampled_neg_pool
         if len(pool) > cap:
             rng = np.random.default_rng(
-                (self.train_cfg.seed, 17, self._generation, query_idx)
+                (self.train_cfg.seed, 17, generation, query_idx)
             )
             pool = list(rng.choice(pool, cap, replace=False))
         cand = lat[np.asarray(pool, np.int64)]
