@@ -426,3 +426,35 @@ def test_distill_synthetic_generates_dataset(cli_root, tmp_path):
     ])
     assert os.path.isdir(os.path.join(fresh_root, "oxford"))
     assert os.path.isdir(os.path.join(str(tmp_path / "student"), "ckpt"))
+
+def test_best_recall_retired_on_fresh_run(cli_root, tmp_path):
+    """A stale best_recall.json from an earlier run must not suppress a
+    fresh (non---restore) run's ckpt_best retention; --restore honors it."""
+    import json, os
+
+    from epcnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "log_fresh")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir,
+            "--eval_every_epochs", "1"]
+    for s in sets:
+        args += ["--set", s]
+
+    # plant an unbeatable stale best from a "previous run"
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "best_recall.json"), "w") as f:
+        json.dump({"recall_at_1": 2.0, "step": 999}, f)
+
+    train_main(args)  # fresh run: stale best retired, new best recorded
+    best = json.load(open(os.path.join(log_dir, "best_recall.json")))
+    assert best["recall_at_1"] <= 1.0  # the NEW run's actual recall
+    assert os.path.isdir(os.path.join(log_dir, "ckpt_best"))
