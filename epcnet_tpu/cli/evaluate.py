@@ -68,16 +68,17 @@ def main(argv=None):
     embed = build_embed_fn(cfg.model)
     mesh = None
     if args.mesh:
-        # evaluation uses the mesh for RETRIEVAL only: default every device
-        # onto the "db" axis (the training config's db_axis=1 would never
-        # take the sharded path — same trap cli/serve.py guards against)
+        # evaluation uses the mesh for RETRIEVAL only: default one full
+        # slice onto the "db" axis (the training config's db_axis=1 would
+        # never take the sharded path — same trap cli/serve.py guards
+        # against; ALL devices would crash multi-slice mesh construction)
         mcfg = cfg.mesh
         if mcfg.db_axis <= 1:
             import dataclasses as _dc
 
-            import jax as _jax
+            from epcnet_tpu.parallel import retrieval_db_axis
 
-            mcfg = _dc.replace(mcfg, data_axis=-1, db_axis=len(_jax.devices()))
+            mcfg = _dc.replace(mcfg, data_axis=-1, db_axis=retrieval_db_axis())
         mesh = make_multislice_mesh(mcfg)
 
     regions = {}

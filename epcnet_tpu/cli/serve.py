@@ -145,8 +145,9 @@ def main(argv=None):
     ap.add_argument("--mesh", action="store_true",
                     help="shard the retrieval DB over devices")
     ap.add_argument("--db_axis", type=int, default=0,
-                    help="devices on the retrieval 'db' axis (0 = ALL — "
-                    "serving has no data-parallel training axis)")
+                    help="devices on the retrieval 'db' axis (0 = all "
+                    "devices of one slice — serving has no data-parallel "
+                    "training axis, and the db axis must stay intra-slice)")
     args = ap.parse_args(argv)
 
     from epcnet_tpu.parallel import maybe_initialize_distributed
@@ -156,15 +157,14 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        import jax
-
         from epcnet_tpu.configs import MeshConfig
-        from epcnet_tpu.parallel import make_multislice_mesh
+        from epcnet_tpu.parallel import make_multislice_mesh, retrieval_db_axis
 
-        # serving shards the DESCRIPTOR DB: default every device onto the
+        # serving shards the DESCRIPTOR DB: default one full slice onto the
         # "db" axis (a db_axis=1 mesh would silently never take the sharded
-        # retrieval path in PlaceIndex.query_descriptors)
-        db_axis = args.db_axis or len(jax.devices())
+        # retrieval path in PlaceIndex.query_descriptors; ALL devices would
+        # crash mesh construction on a multi-slice pod — db stays intra-slice)
+        db_axis = args.db_axis or retrieval_db_axis()
         mesh = make_multislice_mesh(MeshConfig(data_axis=-1, db_axis=db_axis))
     index = PlaceIndex.from_checkpoint(
         args.log_dir, mesh=mesh, embed_batch=args.embed_batch

@@ -58,6 +58,20 @@ class ModelConfig:
     adjacency_format: str = "auto"
     bn_momentum_final: float = 0.99  # BN "decay" upper clamp, reference-style
 
+    def __post_init__(self):
+        # fail fast on mode typos — "pakced" would otherwise silently take
+        # the dense path (same contract as apply_overrides' unknown-key check)
+        if self.adjacency_format not in ("auto", "dense", "packed"):
+            raise ValueError(
+                f"adjacency_format={self.adjacency_format!r} not in "
+                "{'auto', 'dense', 'packed'}"
+            )
+        if self.vlad_precision not in ("highest", "default"):
+            raise ValueError(
+                f"vlad_precision={self.vlad_precision!r} not in "
+                "{'highest', 'default'}"
+            )
+
     def variant(self, **kw: Any) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from epcnet_tpu.data.tuples import (
     any_in_test_regions,
@@ -47,7 +48,7 @@ def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None, resumed=False):
         df, cfg.data.test_positive_radius_m,
         only_test_regions=any_in_test_regions(df),
     )
-    best_mgr = CheckpointManager(f"{cfg.log_dir}/ckpt_best", keep=1)
+    best_dir = os.path.join(cfg.log_dir, "ckpt_best")
     best_path = os.path.join(cfg.log_dir, "best_recall.json")
     best = {"recall": -1.0}
     if os.path.isfile(best_path):
@@ -57,7 +58,13 @@ def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None, resumed=False):
                 f"best-recall retention resumes at {100 * best['recall']:.2f}%"
             )
         else:
-            os.remove(best_path)  # fresh run: retire the previous run's best
+            # Fresh run: retire the previous run's best — BOTH the score file
+            # and the checkpoint itself. A deterministic rerun hits the same
+            # step numbers, and CheckpointManager.save skips step collisions,
+            # so a surviving old ckpt_best would masquerade as the new best.
+            os.remove(best_path)
+            shutil.rmtree(best_dir, ignore_errors=True)
+    best_mgr = CheckpointManager(best_dir, keep=1)
 
     def on_epoch_end(tr, epoch):
         if (epoch + 1) % every_epochs:

@@ -67,7 +67,7 @@ def knn_jnp(x: jnp.ndarray, k: int, return_dists: bool = False):
 
 def _knn_adj_only_kernel(
     x_ref, xt_ref, adj_ref, proxy_ref=None, *, n: int, k: int, cp_real: int,
-    pack: bool = False,
+    pack: bool = False, proxy_dtype: str = "bfloat16",
 ):
     """Adjacency-only variant: VALUE-only rounds + threshold + adaptive trim.
 
@@ -133,11 +133,14 @@ def _knn_adj_only_kernel(
         # Layer-0 ProxyConv proxy point = mean of the k nearest COORDS —
         # both operands are already in VMEM, so emitting it here saves the
         # model one full [N, N] int8 adjacency read from HBM (~0.6 ms at
-        # B=32 x 4096). Same math/precision as the layer path: bf16
-        # operands, fp32 accumulation, post-matmul 1/K scale.
+        # B=32 x 4096). Same math/precision as the layer path: operands in
+        # the model's compute dtype (bf16 default; fp32 for
+        # compute_dtype="float32" configs so the TPU path matches the dense
+        # fallback — ADVICE r2), fp32 accumulation, post-matmul 1/K scale.
+        op_dt = jnp.dtype(proxy_dtype)
         p = jax.lax.dot_general(
-            mask.astype(jnp.bfloat16),
-            xt.astype(jnp.bfloat16),
+            mask.astype(op_dt),
+            xt.astype(op_dt),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * jnp.float32(1.0 / k)
@@ -208,13 +211,13 @@ def _knn_kernel(
     jax.jit,
     static_argnames=(
         "k", "tile_q", "interpret", "with_adjacency", "cp_real",
-        "adjacency_only", "with_proxy", "pack",
+        "adjacency_only", "with_proxy", "pack", "proxy_dtype",
     ),
 )
 def _knn_pallas_batched(
     xp, k: int, tile_q: int, interpret: bool, with_adjacency: bool = False,
     cp_real: int = 3, adjacency_only: bool = False, with_proxy: bool = False,
-    pack: bool = False,
+    pack: bool = False, proxy_dtype: str = "bfloat16",
 ):
     b, npad, cp = xp.shape
     kpad = max(_LANE, -(-k // _LANE) * _LANE)
@@ -237,7 +240,8 @@ def _knn_pallas_batched(
                                     memory_space=pltpu.VMEM)
             adj_shape = jax.ShapeDtypeStruct((b, npad, npad), jnp.int8)
         kern = functools.partial(
-            _knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real, pack=pack
+            _knn_adj_only_kernel, n=npad, k=k, cp_real=cp_real, pack=pack,
+            proxy_dtype=proxy_dtype,
         )
         if not with_proxy:
             return pl.pallas_call(
@@ -341,6 +345,7 @@ def knn_with_adjacency_pallas(
     with_idx: bool = True,
     with_proxy: bool = False,
     fmt: str = "dense",
+    proxy_dtype: str = "bfloat16",
 ):
     """Fused kNN + dense 0/1 indicator adjacency in one kernel pass.
 
@@ -393,7 +398,7 @@ def knn_with_adjacency_pallas(
         if with_proxy:
             adj, proxy = _knn_pallas_batched(
                 xb, k, tile_q, interpret, cp_real=d_in, adjacency_only=True,
-                with_proxy=True, pack=pack,
+                with_proxy=True, pack=pack, proxy_dtype=proxy_dtype,
             )
             proxy = proxy[:, :n, :d_in].reshape(*lead, n, d_in)
         else:
@@ -433,8 +438,9 @@ def knn_adjacency(
     Consumers scale by 1/K after their A@F matmul (neighbor_mean).
     ``with_idx=False`` skips the idx/dist bookkeeping entirely (model path).
     ``with_proxy=True`` appends the layer-0 proxy point (k-nearest coord
-    mean, bf16 matmul / fp32 accumulation, cast to ``dtype``) — on TPU it is
-    emitted from inside the kernel, saving one dense [N, N] HBM read.
+    mean; matmul operands in ``dtype`` with fp32 accumulation on BOTH
+    backends, cast to ``dtype``) — on TPU it is emitted from inside the
+    kernel, saving one dense [N, N] HBM read.
     ``fmt="packed"`` returns the adjacency as [..., N, N/32] int32 bit-planes
     (8x less HBM; consume with ops/adjacency.py packed_neighbor_mean)."""
     from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean, pack_indicator
@@ -449,7 +455,8 @@ def knn_adjacency(
         impl = "pallas" if _on_tpu() else "jnp"
     if impl == "pallas":
         out = knn_with_adjacency_pallas(
-            x, k, with_idx=with_idx, with_proxy=with_proxy, fmt=fmt
+            x, k, with_idx=with_idx, with_proxy=with_proxy, fmt=fmt,
+            proxy_dtype=jnp.dtype(dtype).name,
         )
         if with_proxy:
             idx, adj, proxy = out

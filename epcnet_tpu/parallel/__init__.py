@@ -12,6 +12,7 @@ from epcnet_tpu.parallel.multislice import (
     PreemptionGuard,
     make_multislice_mesh,
     maybe_initialize_distributed,
+    retrieval_db_axis,
     slice_groups,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "PreemptionGuard",
     "make_multislice_mesh",
     "maybe_initialize_distributed",
+    "retrieval_db_axis",
     "slice_groups",
 ]

@@ -84,6 +84,20 @@ def slice_groups(devices, slice_index_fn=None) -> list[list]:
     return [groups[k] for k in sorted(groups)]
 
 
+def retrieval_db_axis(devices=None, slice_index_fn=None) -> int:
+    """Largest valid "db" axis for a retrieval-only mesh.
+
+    The db axis must stay intra-slice (``make_multislice_mesh`` raises
+    otherwise): the top-k all-gather merge rides ICI, never DCN. A
+    serving/eval CLI that defaults "all devices onto db" would therefore
+    crash at mesh construction on any multi-slice pod — cap the default at
+    the per-slice device count instead, leaving the slice dimension on the
+    data axis (which evaluation uses for batch-embedding anyway).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    return len(slice_groups(devices, slice_index_fn)[0])
+
+
 def make_multislice_mesh(
     cfg: MeshConfig | None = None, devices=None, slice_index_fn=None
 ) -> Mesh:

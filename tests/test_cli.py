@@ -449,8 +449,13 @@ def test_best_recall_retired_on_fresh_run(cli_root, tmp_path):
     for s in sets:
         args += ["--set", s]
 
-    # plant an unbeatable stale best from a "previous run"
-    os.makedirs(log_dir, exist_ok=True)
+    # plant an unbeatable stale best from a "previous run", INCLUDING a
+    # stale ckpt_best with a sentinel: a deterministic rerun hits the same
+    # step numbers and CheckpointManager.save skips step collisions, so the
+    # old checkpoint must be cleared, not just the score file
+    os.makedirs(os.path.join(log_dir, "ckpt_best", "999"), exist_ok=True)
+    sentinel = os.path.join(log_dir, "ckpt_best", "999", "stale_marker")
+    open(sentinel, "w").close()
     with open(os.path.join(log_dir, "best_recall.json"), "w") as f:
         json.dump({"recall_at_1": 2.0, "step": 999}, f)
 
@@ -458,3 +463,4 @@ def test_best_recall_retired_on_fresh_run(cli_root, tmp_path):
     best = json.load(open(os.path.join(log_dir, "best_recall.json")))
     assert best["recall_at_1"] <= 1.0  # the NEW run's actual recall
     assert os.path.isdir(os.path.join(log_dir, "ckpt_best"))
+    assert not os.path.exists(sentinel)  # stale checkpoint was cleared too

@@ -55,3 +55,16 @@ def test_variants():
     assert p.vlad_groups == 1 and p.vlad_group_dim == 256
     v = ModelConfig().variant(knn_k=5)
     assert v.knn_k == 5 and ModelConfig().knn_k == 20
+
+
+def test_mode_knobs_fail_fast_on_typos():
+    """adjacency_format / vlad_precision typos must raise at construction,
+    not silently fall back to the dense/highest path (ADVICE r2)."""
+    with pytest.raises(ValueError, match="adjacency_format"):
+        ModelConfig(adjacency_format="pakced")
+    with pytest.raises(ValueError, match="vlad_precision"):
+        ModelConfig(vlad_precision="hihgest")
+    with pytest.raises(ValueError, match="adjacency_format"):
+        apply_overrides(ExperimentConfig(), ["model.adjacency_format=bitpacked"])
+    for ok in ("auto", "dense", "packed"):
+        assert ModelConfig(adjacency_format=ok).adjacency_format == ok

@@ -72,6 +72,26 @@ def test_multislice_mesh_db_axis_stays_intra_slice():
         assert len({d.id // 4 for d in row}) == 1
 
 
+def test_retrieval_db_axis_caps_at_slice_size():
+    """serve/evaluate --mesh default the db axis via retrieval_db_axis: on a
+    multi-slice platform it must return the PER-SLICE device count (db stays
+    intra-slice), and building the mesh with it must succeed — defaulting to
+    ALL devices used to crash make_multislice_mesh on any multi-slice pod."""
+    from epcnet_tpu.parallel import retrieval_db_axis
+
+    fn = lambda d: d.id // 4  # synthetic 2 slices x 4 devices
+    assert retrieval_db_axis(slice_index_fn=fn) == 4
+    mesh = make_multislice_mesh(
+        MeshConfig(data_axis=-1, db_axis=retrieval_db_axis(slice_index_fn=fn)),
+        slice_index_fn=fn,
+    )
+    assert mesh.devices.shape == (2, 4)
+    for row in mesh.devices:  # each db row comes from exactly one slice
+        assert len({d.id // 4 for d in row}) == 1
+    # single slice (CPU default): every device lands on db
+    assert retrieval_db_axis() == len(jax.devices())
+
+
 def test_multislice_mesh_rejects_ragged_slices():
     fn = lambda d: 0 if d.id < 3 else 1  # 3 + 5 devices
     with pytest.raises(ValueError, match="unequal"):
