@@ -77,10 +77,19 @@ class MiningCache:
                 else jax.device_put(buf, sharding)
             )
             device_chunks.append(self.embed_fn(params, batch_stats, x))
-        all_latents = jnp.concatenate(device_chunks, axis=0)[:n]
+        all_latents = jnp.concatenate(device_chunks, axis=0)
         gen = 0 if self._cache is None else self._cache[1] + 1
-        # single host transfer; one atomic reference swap for readers
-        self._cache = (np.asarray(all_latents), gen)
+        # single host transfer; one atomic reference swap for readers. In a
+        # multi-process run the sweep output is sharded across processes
+        # (each host addresses only its data-axis slice), so the host copy
+        # is an explicit allgather; single-process keeps the plain transfer.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            host = multihost_utils.process_allgather(all_latents, tiled=True)
+        else:
+            host = np.asarray(all_latents)
+        self._cache = (host[:n], gen)
 
     @property
     def latents(self) -> np.ndarray | None:

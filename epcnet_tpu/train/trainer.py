@@ -78,6 +78,8 @@ class Trainer:
         self.metrics = MetricsLogger(
             cfg.log_dir, metrics_name, echo_every=0,
             tensorboard=cfg.train.tensorboard,
+            # multi-process runs share one log_dir: only process 0 writes
+            primary=jax.process_index() == 0,
         )
         self.ckpt = (
             CheckpointManager(f"{cfg.log_dir}/ckpt", cfg.train.keep_checkpoints)
@@ -152,6 +154,22 @@ class Trainer:
         §5.3) instead of a killed step."""
         cfg = self.cfg
         t_start = time.time()
+        if should_stop is not None and jax.process_count() > 1:
+            # Multi-process preemption consensus: SIGTERM delivery timing
+            # skews across processes, and a process that stops one dispatch
+            # later than its peers enters a collective the others never join
+            # (a silent distributed hang). Every process contributes its
+            # local flag and ALL stop at the same dispatch boundary.
+            from jax.experimental import multihost_utils
+
+            local_stop = should_stop
+
+            def should_stop():
+                flags = multihost_utils.process_allgather(
+                    np.asarray(local_stop(), np.int32)
+                )
+                return bool(np.max(flags) > 0)
+
         clouds_per_tuple = (
             1
             + cfg.data.num_positives

@@ -34,8 +34,17 @@ class MetricsLogger:
 
     def __init__(
         self, log_dir: str, name: str = "metrics", echo_every: int = 0,
-        tensorboard: bool = False,
+        tensorboard: bool = False, primary: bool = True,
     ):
+        """``primary=False`` (non-zero processes of a multi-process run)
+        turns every write into a no-op: N processes appending to one JSONL
+        file through N buffered handles interleave corrupt lines."""
+        self._primary = primary
+        if not primary:
+            self._f = self._tb = None
+            self.path = os.path.join(log_dir, f"{name}.jsonl")
+            self.echo_every, self._count, self._name = 0, 0, name
+            return
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.jsonl")
         self._f = open(self.path, "a")
@@ -52,6 +61,8 @@ class MetricsLogger:
                 log_string(f"tensorboard writer unavailable ({e!r}); JSONL only")
 
     def write(self, step: int, metrics: Mapping[str, Any], **extra) -> None:
+        if not self._primary:
+            return
         rec = {"step": int(step), "time": time.time(), **extra}
         for k, v in metrics.items():
             try:
@@ -74,12 +85,14 @@ class MetricsLogger:
         is flushed per write, but the TB SummaryWriter buffers — call this
         at end-of-train and on preemption (SIGTERM grace windows kill the
         process before GC would flush)."""
-        self._f.flush()
+        if self._f is not None:
+            self._f.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.flush()
             self._tb.close()

@@ -1,0 +1,174 @@
+"""Multi-process integration worker (spawned by tests/test_multiprocess.py).
+
+Runs the REAL training / retrieval / checkpoint stack across genuine
+process boundaries: ``jax.distributed`` on the CPU backend with 2 local
+devices per process and Gloo cross-process collectives — the closest
+single-machine analogue of a multi-host TPU pod (SURVEY.md §2.3 / §5.8).
+Not a pytest file (no ``test_`` prefix): pytest never collects it.
+
+Each invocation joins an N-process cluster, drives one scenario, and
+writes ``result_<tag>_<pid>.json`` into the shared workdir for the parent
+test to assert on. Scenarios:
+
+- ``train``: full Trainer (DP over all global devices, grads psum across
+  processes, optional hard-negative mining sweep + multi-host allgather,
+  Orbax checkpointing from every process) for ``--max_epoch`` epochs;
+  with ``--guard`` a PreemptionGuard is installed so a parent-sent
+  SIGTERM lands as a clean cross-process-consensus checkpoint-and-stop;
+  with ``--restore`` the run resumes from the shared log_dir first.
+- ``retrieval``: sharded + ring-topk retrieval over all global devices,
+  verified against a local numpy oracle in every process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def checksum(params) -> float:
+    import jax
+    import numpy as np
+
+    return float(
+        sum(
+            np.float64(np.abs(np.asarray(leaf)).sum())
+            for leaf in jax.tree_util.tree_leaves(params)
+        )
+    )
+
+
+def build_cfg(workdir: str, log_subdir: str, max_epoch: int, mining_start: int):
+    from epcnet_tpu.configs import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    model = ModelConfig(
+        num_points=128, knn_k=8, use_pallas=False,
+        proxyconv_channels=(16, 16), lift_channels=(32, 64), feature_dim=64,
+        vlad_clusters=8, vlad_groups=4, vlad_group_dim=16,
+    )
+    return ExperimentConfig(
+        model=model,
+        data=DataConfig(
+            dataset_root=os.path.join(workdir, "data"), num_points=128,
+            num_negatives=4, num_positives=2,
+        ),
+        train=TrainConfig(
+            batch_num_queries=8, max_epoch=max_epoch, learning_rate=1e-3,
+            mining_start_epoch=mining_start, mining_refresh_steps=10**6,
+            log_every_steps=5, checkpoint_every_steps=10**6, seed=1234,
+        ),
+        log_dir=os.path.join(workdir, log_subdir),
+    )
+
+
+def scenario_train(args, result: dict) -> None:
+    import jax
+
+    from epcnet_tpu.configs import MeshConfig
+    from epcnet_tpu.data.tuples import construct_query_dict, scan_runs
+    from epcnet_tpu.parallel import PreemptionGuard, make_mesh
+    from epcnet_tpu.train import Trainer
+
+    cfg = build_cfg(args.workdir, args.log_subdir, args.max_epoch,
+                    args.mining_start)
+    tuples = construct_query_dict(
+        scan_runs(cfg.data.dataset_root), exclude_test_regions=False
+    )
+    mesh = make_mesh(MeshConfig(), devices=jax.devices())
+    trainer = Trainer(cfg, tuples, mesh=mesh)
+    if args.restore:
+        result["restored_step"] = trainer.maybe_restore()
+    if args.guard:
+        with PreemptionGuard() as guard:
+            state = trainer.train(should_stop=guard)
+        result["preempted"] = bool(guard.requested)
+    else:
+        state = trainer.train()
+    result["step"] = int(state.step)
+    result["checksum"] = checksum(state.params)
+
+    # checkpoint round-trip across processes: a FRESH trainer (template
+    # state) must restore to the exact step/params just saved
+    fresh = Trainer(cfg, tuples, mesh=mesh)
+    result["roundtrip_step"] = fresh.maybe_restore()
+    result["roundtrip_checksum"] = checksum(fresh.state.params)
+
+
+def scenario_retrieval(args, result: dict) -> None:
+    import numpy as np
+
+    import jax
+
+    from epcnet_tpu.configs import MeshConfig
+    from epcnet_tpu.ops.retrieval import (
+        ring_topk_neighbors,
+        sharded_topk_neighbors,
+    )
+    from epcnet_tpu.parallel import make_mesh
+
+    n_global = len(jax.devices())
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    db = rng.standard_normal((70, 32)).astype(np.float32)
+    d = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(d, axis=-1, kind="stable")[:, :6]
+
+    mesh = make_mesh(MeshConfig(data_axis=1, db_axis=n_global))
+    idx, _ = sharded_topk_neighbors(q, db, 6, mesh)
+    result["sharded_ok"] = bool(np.array_equal(np.asarray(idx), oracle))
+    idx, _ = ring_topk_neighbors(q, db, 6, mesh)
+    result["ring_ok"] = bool(np.array_equal(np.asarray(idx), oracle))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scenario", choices=["train", "retrieval"])
+    ap.add_argument("--procid", type=int, required=True)
+    ap.add_argument("--nprocs", type=int, required=True)
+    ap.add_argument("--port", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--log_subdir", default="log")
+    ap.add_argument("--max_epoch", type=int, default=2)
+    ap.add_argument("--mining_start", type=int, default=99)
+    ap.add_argument("--guard", action="store_true")
+    ap.add_argument("--restore", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(
+        f"127.0.0.1:{args.port}",
+        num_processes=args.nprocs,
+        process_id=args.procid,
+    )
+
+    result = {
+        "pid": args.procid,
+        "process_count": jax.process_count(),
+        "n_global_devices": len(jax.devices()),
+        "n_local_devices": len(jax.local_devices()),
+    }
+    if args.scenario == "train":
+        scenario_train(args, result)
+    else:
+        scenario_retrieval(args, result)
+
+    out = os.path.join(args.workdir, f"result_{args.tag}_{args.procid}.json")
+    with open(out + ".tmp", "w") as f:
+        json.dump(result, f)
+    os.replace(out + ".tmp", out)
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
