@@ -59,6 +59,10 @@ def main(argv=None):
                     "place's blob layout (shared structure, disjoint points) "
                     "— a structural-generalization check: retrieval cannot "
                     "shortcut on point identity")
+    ap.add_argument("--synthetic_difficulty", type=float, default=0.0,
+                    help="benchmark dial in [0, 1]: per-visit heading "
+                    "rotation, blob occlusion, resampling + noise — "
+                    "calibrated so trained recall has headroom below 100%%")
     ap.add_argument("--num_points", type=int, default=4096)
     args = ap.parse_args(argv)
 
@@ -71,6 +75,7 @@ def main(argv=None):
             args.pointcloud_dir or "pointcloud_20m_10overlap",
             args.csv_name or "pointcloud_locations_20m_10overlap.csv",
             resample_per_visit=args.synthetic_hard,
+            difficulty=args.synthetic_difficulty,
         )
     out_dir = args.output_dir or args.dataset_root
     if args.mode == "refine":

@@ -26,6 +26,8 @@ import pandas as pd
 def _cell_cloud(
     place: tuple[int, int], num_points: int, world_seed: int,
     sample_rng: np.random.Generator | None = None,
+    n_blobs: int = 8,
+    keep_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Sample a point cloud of ``place``.
 
@@ -37,14 +39,22 @@ def _cell_cloud(
     layout: revisits share STRUCTURE but not points, like real lidar
     revisits — a structural-generalization check (measured: EPC-Net still
     reaches 100% recall@1 at 5x80 submaps, with a visibly harder loss).
+
+    ``keep_mask`` (benchmark mode) hides a per-visit subset of the place's
+    blobs — the occlusion analogue: two visits of one place then share only
+    part of their structure.
     """
     seed = (world_seed * 1_000_003 + place[0] * 7919 + place[1] * 104729) % (2**31 - 1)
     rng = np.random.default_rng(seed)
-    k = 8
+    k = n_blobs
     centers = rng.uniform(-0.8, 0.8, (k, 3))
     scales = rng.uniform(0.02, 0.2, (k, 1))
     srng = sample_rng if sample_rng is not None else rng
-    assign = srng.integers(0, k, num_points)
+    if keep_mask is not None:
+        kept = np.flatnonzero(keep_mask)
+        assign = kept[srng.integers(0, len(kept), num_points)]
+    else:
+        assign = srng.integers(0, k, num_points)
     pts = centers[assign] + scales[assign] * srng.standard_normal((num_points, 3))
     return np.clip(pts, -1.0, 1.0)
 
@@ -62,6 +72,7 @@ def generate_synthetic_dataset(
     noise: float = 0.01,
     origin: tuple[float, float] = (5_800_000.0, 600_000.0),
     resample_per_visit: bool = False,
+    difficulty: float = 0.0,
 ) -> str:
     """Writes the dataset under ``root`` and returns ``root``.
 
@@ -80,9 +91,30 @@ def generate_synthetic_dataset(
     vs 0 after epoch 1) but EPC-Net still saturates recall@1=100% — use it
     as a structural-generalization check; both modes are easy for retrieval
     at this scale.
+
+    ``difficulty`` in [0, 1] is the BENCHMARK dial (VERDICT r2 #2: a quality
+    signal that can fail). It compounds three per-visit effects real lidar
+    revisits have and the easy fixture lacks, calibrated so an untrained
+    model sits near chance while a trained EPC-Net lands high-but-below-100%:
+
+    - full heading change: per-visit z-rotation up to ±difficulty·π (raw
+      coordinates decorrelate between visits; only rotation-INVARIANT
+      structure learned through the training augmentation survives),
+    - occlusion: each visit hides ~35%·difficulty of the place's blobs,
+    - resampling + extra sensor noise (implies ``resample_per_visit``).
+
+    The labels stay exactly clean — difficulty only perturbs geometry per
+    VISIT, never the waypoint-keyed place identity.
     """
     base = os.path.join(root, runs_subdir)
     os.makedirs(base, exist_ok=True)
+    if not 0.0 <= difficulty <= 1.0:
+        raise ValueError(f"difficulty must be in [0, 1], got {difficulty}")
+    resample = resample_per_visit or difficulty > 0
+    n_blobs = 8 if difficulty == 0 else 12
+    rot_max = 0.2 + difficulty * (np.pi - 0.2)
+    blob_dropout = 0.35 * difficulty
+    noise = noise + 0.02 * difficulty
     # A closed loop in UTM space.
     t = np.linspace(0, 2 * np.pi, submaps_per_run, endpoint=False)
     radius = spacing_m * submaps_per_run / (2 * np.pi)
@@ -100,13 +132,20 @@ def generate_synthetic_dataset(
             # place identity = the waypoint (jitter-proof), disambiguated by
             # origin so separate regions never alias base clouds
             place = (s, int(origin_n + origin_e) % 1_000_003)
+            keep = None
+            if blob_dropout > 0:
+                keep = rng.random(n_blobs) >= blob_dropout
+                if not keep.any():
+                    keep[rng.integers(n_blobs)] = True
             pts = _cell_cloud(
                 place, num_points, world_seed,
-                sample_rng=rng if resample_per_visit else None,
+                sample_rng=rng if resample else None,
+                n_blobs=n_blobs, keep_mask=keep,
             )
-            # per-visit variation: small rotation about z + noise (kept small
-            # so place identity stays easily learnable in tiny test models)
-            ang = rng.uniform(-0.2, 0.2)
+            # per-visit variation: rotation about z + noise (small by
+            # default so place identity stays easily learnable in tiny test
+            # models; up to full heading change on the difficulty dial)
+            ang = rng.uniform(-rot_max, rot_max)
             c, sn = np.cos(ang), np.sin(ang)
             rot = np.array([[c, -sn, 0], [sn, c, 0], [0, 0, 1]])
             pts = pts @ rot.T + noise * rng.standard_normal(pts.shape)
