@@ -107,10 +107,54 @@ def _tf1_pointnetvlad_map() -> dict:
     return m
 
 
+def _tf1_epcnet_map() -> dict:
+    """Best-guess TF1 EPC-Net variable names -> our EPCNet tree.
+
+    UNVERIFIED (empty reference mount, SURVEY.md §0): scope names are the
+    lineage-plausible candidates for a PointNetVLAD-fork ProxyConv stack —
+    regex alternation accepts the likely spellings (pconv{i} / proxyconv{i}
+    / epc_conv{i}; lift convs conv5/conv6 or agg1/agg2). If none match a
+    populated reference, fall back to :func:`automatch_state_dict`, which
+    needs no names at all.
+    """
+    m = {}
+    for i in (1, 2, 3, 4):  # ProxyConv stack (paper: 4 layers)
+        src = rf"(?:pconv|proxyconv|proxy_conv|epc_conv){i}"
+        dst = f"proxyconv_{i - 1}"
+        m[rf"{src}/weights"] = f"{dst}/dense/kernel"
+        m[rf"{src}/biases"] = f"{dst}/dense/bias"
+        m[rf"{src}/bn/gamma"] = f"{dst}/bn/scale"
+        m[rf"{src}/bn/beta"] = f"{dst}/bn/bias"
+        m[rf"{src}/bn/moving_mean"] = f"{dst}/bn/mean"
+        m[rf"{src}/bn/moving_variance"] = f"{dst}/bn/var"
+    for j, i in enumerate((5, 6)):  # per-point lift of the multi-scale concat
+        src = rf"(?:conv{i}|agg{j + 1}|lift{j + 1})"
+        m[rf"{src}/weights"] = f"lift/dense_{j}/kernel"
+        m[rf"{src}/biases"] = f"lift/dense_{j}/bias"
+        m[rf"{src}/bn/gamma"] = f"lift/bn_{j}/scale"
+        m[rf"{src}/bn/beta"] = f"lift/bn_{j}/bias"
+        m[rf"{src}/bn/moving_mean"] = f"lift/bn_{j}/mean"
+        m[rf"{src}/bn/moving_variance"] = f"lift/bn_{j}/var"
+    # G-VLAD head: NetVLAD heritage names + grouped/out FC + gating
+    m[r"(?:g?vlad/)?cluster_weights"] = "gvlad/assign/kernel"
+    m[r"(?:g?vlad/)?cluster_biases"] = "gvlad/assign/bias"
+    m[r"(?:g?vlad/)?cluster_weights2"] = "gvlad/centroids"
+    m[r"(?:g?vlad/)?(?:hidden1|group)_weights"] = "gvlad/group_w"
+    m[r"(?:g?vlad/)?(?:hidden1|group)_biases"] = "gvlad/group_b"
+    m[r"(?:g?vlad/)?(?:hidden2|out)_weights"] = "gvlad/out_fc/kernel"
+    m[r"(?:g?vlad/)?(?:hidden2|out)_biases"] = "gvlad/out_fc/bias"
+    m[r"(?:g?vlad/)?gating_weights"] = "gvlad/gate/kernel"
+    m[r"(?:g?vlad/)?gating_biases"] = "gvlad/gate/bias"
+    return m
+
+
 NAME_MAPS: dict[str, dict] = {
     # TF1 tf.train.Saver variable names of the PointNetVLAD family
     # [LINEAGE, UNVERIFIED — see module docstring]. Use with source="tf".
     "tf1_pointnetvlad": _tf1_pointnetvlad_map(),
+    # Best-guess EPC-Net flagship map [LINEAGE, UNVERIFIED] — porting day
+    # starts here instead of hand-writing regexes (VERDICT r2 #4).
+    "tf1_epcnet": _tf1_epcnet_map(),
 }
 
 
@@ -167,6 +211,136 @@ def import_state_dict(
         import warnings
 
         warnings.warn(f"importer skipped {len(skipped)} keys: {skipped[:5]}...")
+    return params, stats
+
+
+# ----------------------------------------------------------------------------
+# Shape-graph auto-matcher: import an UNLABELED state dict (VERDICT r2 #4).
+# ----------------------------------------------------------------------------
+
+
+def model_leaf_order(variables: Mapping[str, Any]) -> list[tuple[str, str, tuple]]:
+    """Canonical topological leaf order of a flax variables tree.
+
+    Walks ``params`` in its insertion order — flax preserves module
+    construction order, which IS the forward topology — and interleaves each
+    module's ``batch_stats`` (mean, var) directly after that module's
+    params, reproducing the per-layer (kernel, bias, scale, bias, mean, var)
+    grouping that both TF1 Saver variable lists and torch state_dicts emit.
+
+    Returns [(tree, "/"-path, shape)] with tree in {"params", "stats"}.
+    """
+    stats_tree = variables.get("batch_stats", {})
+    order: list[tuple[str, str, tuple]] = []
+
+    def stats_at(path_parts):
+        node = stats_tree
+        for p in path_parts:
+            if not isinstance(node, Mapping) or p not in node:
+                return None
+            node = node[p]
+        return node
+
+    def walk(node, parts):
+        emitted_leaf = False
+        for k, v in node.items():
+            if isinstance(v, Mapping):
+                walk(v, parts + [k])
+            else:
+                order.append(("params", "/".join(parts + [k]), np.shape(v)))
+                emitted_leaf = True
+        if emitted_leaf:
+            s = stats_at(parts)
+            if isinstance(s, Mapping):
+                for k, v in s.items():
+                    if not isinstance(v, Mapping):
+                        order.append(
+                            ("stats", "/".join(parts + [k]), np.shape(v))
+                        )
+
+    walk(variables["params"], [])
+    return order
+
+
+def _conversion_candidates(arr: np.ndarray, source: str):
+    """(converted_array, compatible_leaf_kinds) candidates for one source
+    var, most-specific first. ``None`` leaf kinds = any leaf."""
+    out = [(arr, None)]
+    if arr.ndim == 4:  # conv 1x1 kernels
+        out.append((convert_dense(arr, source), ("kernel",)))
+    if arr.ndim == 3 and source == "tf":
+        # TF NetVLAD centroids [1, D, K] -> [K, D]
+        out.append((arr[0].T, ("centroids",)))
+    if arr.ndim == 2:
+        if source == "torch":
+            out.append((arr.T, ("kernel",)))  # torch Linear [out, in]
+        else:
+            out.append((arr.T, ("centroids",)))  # TF centroids [D, K]
+        out.append((arr[None], ("group_w",)))  # dense FC -> G=1 grouped
+    if arr.ndim == 1:
+        out.append((arr[None], ("group_b",)))
+    return out
+
+
+def automatch_state_dict(
+    state_dict: Mapping[str, Any],
+    variables: Mapping[str, Any],
+    source: str = "tf",
+) -> tuple[dict, dict]:
+    """Match an UNLABELED reference state dict onto the model tree by shape
+    + topological order — the porting-day fallback when variable names are
+    unknown or NAME_MAPS misses (SURVEY.md §5.4; VERDICT r2 #4).
+
+    Contract: ``state_dict`` must enumerate variables in graph-construction
+    order with the usual per-layer grouping (kernel, bias, gamma, beta,
+    moving_mean, moving_variance) — TF1 ``Saver`` var lists and torch
+    ``state_dict()`` both do. Each source var is assigned to the FIRST
+    still-unmatched model leaf (in forward topology) whose shape equals the
+    var's shape under a layout-compatible conversion. Raises if any model
+    leaf ends up unmatched or any source var matches nothing, so a silent
+    half-import is impossible; verify the result with golden descriptors
+    (tests round-trip a scrambled-name export to 1e-6).
+
+    Returns (params, stats) trees for :func:`merge_into_variables`.
+    """
+    targets = model_leaf_order(variables)
+    taken = [False] * len(targets)
+    params: dict = {}
+    stats: dict = {}
+    unmatched_src = []
+    for key, val in state_dict.items():
+        arr = _to_numpy(val)
+        assigned = False
+        for cand, kinds in _conversion_candidates(arr, source):
+            cshape = np.shape(cand)
+            for i, (tree, path, tshape) in enumerate(targets):
+                if taken[i] or tshape != cshape:
+                    continue
+                leaf = path.split("/")[-1]
+                if kinds is not None and leaf not in kinds:
+                    continue
+                taken[i] = True
+                node = params if tree == "params" else stats
+                parts = path.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = np.asarray(cand)
+                assigned = True
+                break
+            if assigned:
+                break
+        if not assigned:
+            unmatched_src.append((key, arr.shape))
+    if unmatched_src:
+        raise ValueError(
+            f"automatch: {len(unmatched_src)} source vars matched no model "
+            f"leaf: {unmatched_src[:5]}"
+        )
+    missing = [path for i, (_, path, _) in enumerate(targets) if not taken[i]]
+    if missing:
+        raise ValueError(
+            f"automatch: {len(missing)} model leaves unmatched: {missing[:5]}"
+        )
     return params, stats
 
 

@@ -174,3 +174,142 @@ def test_tf1_pointnetvlad_name_map(rng):
     # descriptors actually changed vs the random init (the overlay took)
     base = model.apply(variables, x, train=False)
     assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_automatch_unlabeled_epcnet_roundtrip(rng):
+    """VERDICT r2 #4 'done' criterion: an UNLABELED state dict (scrambled
+    names, TF layouts, graph-construction order) auto-matches onto our
+    EPC-Net by shape + topological order and reconstructs descriptors to
+    1e-6."""
+    from epcnet_tpu.configs import ModelConfig
+    from epcnet_tpu.models import get_model
+    from epcnet_tpu.utils.importer import (
+        automatch_state_dict,
+        merge_into_variables,
+        model_leaf_order,
+    )
+
+    cfg = ModelConfig(
+        num_points=64, knn_k=4, use_pallas=False,
+        proxyconv_channels=(8, 8), lift_channels=(16, 32), feature_dim=32,
+        vlad_clusters=4, vlad_groups=2, vlad_group_dim=8, output_dim=16,
+    )
+    model = get_model(cfg)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)).astype(np.float32))
+    donor = model.init(jax.random.PRNGKey(1), x, train=False)
+    target = model.init(jax.random.PRNGKey(2), x, train=False)
+    ref = model.apply(donor, x, train=False)
+    assert not np.allclose(np.asarray(ref),
+                           np.asarray(model.apply(target, x, train=False)))
+
+    # Export the donor as a reference-style state dict: TF layouts,
+    # MEANINGLESS names, per-layer graph-construction order — exactly what
+    # model_leaf_order documents as the matcher's input contract.
+    def leaf_at(tree, path):
+        node = donor["params"] if tree == "params" else donor["batch_stats"]
+        for p in path.split("/"):
+            node = node[p]
+        return np.asarray(node)
+
+    sd = {}
+    for i, (tree, path, _) in enumerate(model_leaf_order(donor)):
+        arr = leaf_at(tree, path)
+        leaf = path.split("/")[-1]
+        if leaf == "kernel":
+            arr = arr[None, None]  # flax [Cin, Cout] -> TF conv [1,1,Cin,Cout]
+        elif leaf == "centroids":
+            arr = arr.T[None]  # [K, D] -> TF [1, D, K]
+        sd[f"var_{i:03d}"] = arr
+
+    params, stats = automatch_state_dict(sd, target, source="tf")
+    merged = merge_into_variables(target, params, stats)
+    out = model.apply(merged, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_automatch_rejects_partial_state_dict(rng):
+    """A state dict missing variables must raise (no silent half-import)."""
+    from epcnet_tpu.configs import ModelConfig
+    from epcnet_tpu.models import get_model
+    from epcnet_tpu.utils.importer import automatch_state_dict
+
+    cfg = ModelConfig(
+        num_points=64, knn_k=4, use_pallas=False,
+        proxyconv_channels=(8,), lift_channels=(16,), feature_dim=16,
+        vlad_clusters=4, vlad_groups=2, vlad_group_dim=8, output_dim=16,
+    )
+    model = get_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), train=False
+    )
+    with pytest.raises(ValueError, match="matched no model leaf|unmatched"):
+        automatch_state_dict({"w": np.zeros((3, 8), np.float32)}, variables)
+    # and one that DOES match a leaf still fails on the missing remainder
+    kernel0 = np.zeros((6, 8), np.float32)  # first ProxyConv [2*3, 8]
+    with pytest.raises(ValueError, match="model leaves unmatched"):
+        automatch_state_dict({"w": kernel0}, variables)
+
+
+def test_tf1_epcnet_name_map(rng):
+    """The best-guess EPC-Net NAME_MAP accepts a plausible TF1 variable
+    dict with zero skipped keys and overlays the full flagship tree."""
+    from epcnet_tpu.configs import ModelConfig
+    from epcnet_tpu.models import get_model
+    from epcnet_tpu.utils.importer import (
+        NAME_MAPS, import_state_dict, merge_into_variables,
+    )
+
+    cfg = ModelConfig(
+        num_points=64, knn_k=4, use_pallas=False,
+        proxyconv_channels=(8, 8, 8, 16), lift_channels=(16, 32),
+        feature_dim=32, vlad_clusters=4, vlad_groups=2, vlad_group_dim=8,
+        output_dim=16,
+    )
+    model = get_model(cfg)
+    x = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def r(*shape):
+        return rng.randn(*shape).astype(np.float32)
+
+    sd = {}
+    prev = 3
+    for i, w in enumerate(cfg.proxyconv_channels, start=1):
+        sd[f"pconv{i}/weights"] = r(1, 1, 2 * prev, w)
+        sd[f"pconv{i}/biases"] = r(w)
+        for nm, arr in (("gamma", r(w)), ("beta", r(w)),
+                        ("moving_mean", r(w)),
+                        ("moving_variance", np.abs(r(w)))):
+            sd[f"pconv{i}/bn/{nm}"] = arr
+        prev = w
+    prev = sum(cfg.proxyconv_channels)
+    for i, w in enumerate(cfg.lift_channels, start=5):
+        sd[f"conv{i}/weights"] = r(1, 1, prev, w)
+        sd[f"conv{i}/biases"] = r(w)
+        for nm, arr in (("gamma", r(w)), ("beta", r(w)),
+                        ("moving_mean", r(w)),
+                        ("moving_variance", np.abs(r(w)))):
+            sd[f"conv{i}/bn/{nm}"] = arr
+        prev = w
+    d, k, g, gd = cfg.feature_dim, cfg.vlad_clusters, cfg.vlad_groups, cfg.vlad_group_dim
+    sd["vlad/cluster_weights"] = r(d, k)
+    sd["vlad/cluster_biases"] = r(k)
+    sd["vlad/cluster_weights2"] = r(1, d, k)
+    sd["vlad/hidden1_weights"] = r(g, k * d // g, gd)
+    sd["vlad/hidden1_biases"] = r(g, gd)
+    sd["vlad/hidden2_weights"] = r(g * gd, cfg.output_dim)
+    sd["vlad/hidden2_biases"] = r(cfg.output_dim)
+    sd["vlad/gating_weights"] = r(cfg.output_dim, cfg.output_dim)
+    sd["vlad/gating_biases"] = r(cfg.output_dim)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a skipped key == a map gap == fail
+        params, stats = import_state_dict(sd, NAME_MAPS["tf1_epcnet"], source="tf")
+    merged = merge_into_variables(variables, params, stats)
+    out = model.apply(merged, x, train=False)
+    assert out.shape == (1, 16) and np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(
+        np.asarray(out), np.asarray(model.apply(variables, x, train=False))
+    )
