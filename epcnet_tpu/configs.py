@@ -48,6 +48,9 @@ class ModelConfig:
     # "default" = single-pass MXU bf16 accumulation (~6x fewer MXU passes,
     # ~1e-3 relative descriptor drift) — an opt-in deployment knob.
     vlad_precision: str = "highest"
+    # (A "knn_precision=bf16_fast" distance-slab mode was built and MEASURED
+    # SLOWER — 14.9 vs 9.9 ms: the K=8 matmul wastes the MXU and the norm
+    # expansion adds VPU passes; deleted per docs/KERNELS.md round 3.)
     use_pallas: bool = True  # swap in Pallas kernels (falls back off-TPU)
     # [N, N] adjacency layout for the ProxyConv neighbour means. "dense"
     # (and "auto"): int8 indicator — fastest at production shapes on v5e

@@ -33,9 +33,18 @@ class GVLADHead(nn.Module):
         c, d = cfg.vlad_clusters, cfg.feature_dim
         assert features.shape[-1] == d, (features.shape, d)
 
-        # Soft-assignment logits: a 1x1 conv over points [LINEAGE].
-        logits = nn.Dense(c, name="assign", dtype=jnp.float32)(
-            features.astype(jnp.float32)
+        # Soft-assignment logits: a 1x1 conv over points [LINEAGE]. The
+        # matmul follows the backbone compute dtype (KERNELS.md lever 1):
+        # features arrive as bf16 from the lift anyway, so a bf16 Dense
+        # rounds only the weights (~1e-3 logit drift) and saves the 3-pass
+        # fp32-emulated MXU matmul; the softmax and everything after stay
+        # fp32 (SURVEY.md §7.8 — VLAD accumulation is still HIGHEST).
+        # compute_dtype="float32" configs keep the exact fp32 path.
+        compute_dt = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        logits = nn.Dense(c, name="assign", dtype=compute_dt)(
+            features.astype(compute_dt)
         )
         centroids = self.param(
             "centroids", nn.initializers.normal(1.0 / jnp.sqrt(d)), (c, d), jnp.float32

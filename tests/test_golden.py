@@ -4,6 +4,13 @@ A fixed-seed model + fixed input must keep producing the same descriptors
 across refactors. The golden file is committed; regenerate DELIBERATELY with
   python tests/test_golden.py regen
 after an intentional numerics change, and say why in the commit.
+
+NOT THE PARITY CONTRACT: these fixtures pin OUR OWN past outputs
+(self-referential regression only). Green-golden says "nothing drifted
+since the pin", not "matches the reference implementation" — reference
+parity requires real reference weights through utils/importer.py
+(golden-descriptor protocol of SURVEY.md §7.4, blocked on the empty
+reference mount; see VERDICT r2 weak #6).
 """
 
 import os

@@ -177,3 +177,4 @@ def test_knn_adjacency_front_end_proxy(rng):
     np.testing.assert_array_equal(
         np.asarray(proxy, np.float32), np.asarray(want, np.float32)
     )
+

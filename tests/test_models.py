@@ -111,9 +111,13 @@ def test_gvlad_g1_equals_dense_fc(rng):
     from epcnet_tpu.models.vlad_head import GVLADHead
     from epcnet_tpu.ops.vlad import vlad_aggregate_jnp
 
+    # compute_dtype="float32": the assignment-logits Dense follows the
+    # backbone compute dtype (KERNELS.md lever 1), and this test checks
+    # EXACT fp32 math against a manual NetVLAD — the import-parity flow
+    # uses the fp32 path for bit-for-bit checks.
     cfg = pointnetvlad_config(
         feature_dim=32, vlad_clusters=4, use_pallas=False, gating=False,
-        output_dim=16, vlad_group_dim=16,
+        output_dim=16, vlad_group_dim=16, compute_dtype="float32",
     )
     head = GVLADHead(cfg)
     f = jnp.asarray(rng.randn(2, 50, 32).astype(np.float32))
