@@ -315,7 +315,7 @@ def knn_pallas(
         b *= s
     xb = x.reshape(b, n, d_in).astype(jnp.float32)
 
-    tile_q = min(tile_q, max(8, n))
+    tile_q = _fit_tile_to_vmem(min(tile_q, max(8, n)), n, bytes_per_elem=5)
     # npad must be divisible by tile_q (grid) AND by 128 (the kernel's
     # lane-segment reshape); for pow-2 tile sizes lcm = max(tile_q, 128).
     import math
@@ -335,6 +335,20 @@ def knn_pallas(
     if return_dists:
         return idx, jax.lax.stop_gradient(dist[:, :n, :k].reshape(*lead, n, k))
     return idx
+
+
+def _fit_tile_to_vmem(tile_q: int, n: int, bytes_per_elem: int) -> int:
+    """Shrink the query tile so the kernel's [tile, Npad] working set fits
+    the 16 MB scoped VMEM at large N (SURVEY.md §5.7 capacity path): the
+    fp32 distance slab plus the adjacency/select row block cost
+    ~``bytes_per_elem`` per slab element. Measured flat across tile_q
+    64-256 at N=4096 (docs/KERNELS.md), so shrinking costs nothing there
+    and buys N=16k/32k support."""
+    npad128 = -(-n // _LANE) * _LANE
+    budget = 10 * 2**20  # headroom under the 16 MB scoped limit
+    while tile_q > 8 and tile_q * npad128 * bytes_per_elem > budget:
+        tile_q //= 2
+    return max(8, tile_q)
 
 
 def knn_with_adjacency_pallas(
@@ -380,7 +394,8 @@ def knn_with_adjacency_pallas(
     for s in lead:
         b *= s
     xb = x.reshape(b, n, d_in).astype(jnp.float32)
-    tile_q = min(tile_q, max(8, n))
+    # f32 slab + f32 trim copy + int8 adjacency row block ~ 9 B/elem
+    tile_q = _fit_tile_to_vmem(min(tile_q, max(8, n)), n, bytes_per_elem=9)
     import math
 
     unit = tile_q * _LANE // math.gcd(tile_q, _LANE)

@@ -168,3 +168,29 @@ def test_sharded_retrieval_tiny_db(rng, mesh8):
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
         np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_ring_knn_points_capacity_scale_n8k(rng, mesh8):
+    """SURVEY.md §5.7 capacity chain, CPU-mesh leg (VERDICT r2 #3): beyond
+    the single-chip packed-adjacency ceiling (32k pts, docs/KERNELS.md) the
+    POINT axis shards over the mesh — exact kNN graph at N=8192 across 8
+    devices, each holding a 1k-point shard, candidates riding the ppermute
+    ring. Verified against the full-matrix oracle."""
+    import numpy as np
+
+    from epcnet_tpu.ops.knn import knn_jnp
+    from epcnet_tpu.ops.retrieval import ring_knn_points
+
+    n, k = 8192, 12
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    idx, dist = ring_knn_points(x, k, mesh8)
+    want_i, want_d = knn_jnp(x, k, return_dists=True)
+    # distances are the invariant (ties may order differently per merge)
+    np.testing.assert_allclose(
+        np.asarray(dist), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
+    # neighbour SETS must match exactly on tie-free rows (uniform floats:
+    # ties have measure zero, so compare sets everywhere)
+    got = np.sort(np.asarray(idx), axis=-1)
+    want = np.sort(np.asarray(want_i), axis=-1)
+    np.testing.assert_array_equal(got, want)
