@@ -222,3 +222,45 @@ def test_checkpoint_roundtrip(synthetic_root, tiny_model_cfg):
     l2 = jax.tree_util.tree_leaves(restored.params)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mining_batched_selection_matches_per_query_oracle(
+    synthetic_root, tiny_model_cfg
+):
+    """The device-batched hardest-negative precompute (VERDICT r2 weak #4)
+    must reproduce the per-query numpy selection it replaced, for every
+    tuple, including subsampled pools (same (seed, generation, query) RNG
+    keying)."""
+    import numpy as np
+
+    df = scan_runs(synthetic_root)
+    tt = construct_query_dict(df, exclude_test_regions=False)
+    dcfg = DataConfig(dataset_root=synthetic_root, num_points=128,
+                      num_negatives=4, num_positives=2)
+    # sampled_neg_pool below the largest pool: the subsample RNG path runs
+    tcfg = TrainConfig(hard_neg_per_tuple=4, sampled_neg_pool=20)
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    cache = MiningCache(tt, dcfg, tcfg, embed, batch_size=16)
+    cache.refresh(state.params, state.batch_stats)
+    cache.refresh(state.params, state.batch_stats)  # generation 1
+    lat, gen = cache._cache
+    assert gen == 1
+
+    for qi in range(len(tt.queries)):
+        pool = tt.queries[qi]["negatives"]
+        got = cache.hard_negatives(qi)
+        if not pool:
+            assert got is None
+            continue
+        if len(pool) > tcfg.sampled_neg_pool:
+            rng = np.random.default_rng((tcfg.seed, 17, gen, qi))
+            pool = list(rng.choice(pool, tcfg.sampled_neg_pool, replace=False))
+        d = ((lat[np.asarray(pool)] - lat[qi]) ** 2).sum(-1)
+        k = min(tcfg.hard_neg_per_tuple, len(pool))
+        order = np.argsort(d, kind="stable")[:k]
+        want = sorted(d[order].tolist())
+        got_d = sorted(((lat[g] - lat[qi]) ** 2).sum(-1) for g in got)
+        assert len(got) == k
+        np.testing.assert_allclose(got_d, want, rtol=1e-5, atol=1e-6)
+        assert all(g in set(pool) for g in got)
