@@ -66,6 +66,32 @@ def test_save_load(index, tmp_path):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_query_batch_padded_to_bucket(index, rng, monkeypatch):
+    """Retrieval must see only embed_batch-multiple query batches: the
+    QueryScheduler produces variable-sized micro-batches (1..max_batch) and
+    an unpadded retrieval compiles one XLA program per distinct size —
+    measured as a 1.18 s p99 outlier on the v5e load test. Results for the
+    real rows must be unchanged by the padding."""
+    import epcnet_tpu.serve as serve_mod
+
+    seen = []
+    real = serve_mod.topk_neighbors
+
+    def spy(q, db, k):
+        seen.append(int(q.shape[0]))
+        return real(q, db, k)
+
+    monkeypatch.setattr(serve_mod, "topk_neighbors", spy)
+    q = index._db[:5]  # odd size < embed_batch=4*2
+    ids_odd, d_odd = index.query_descriptors(q, k=3)
+    assert ids_odd.shape == (5, 3) and d_odd.shape == (5, 3)
+    monkeypatch.setattr(serve_mod, "topk_neighbors", real)
+    ids_ref, d_ref = index.query_descriptors(q, k=3)
+    np.testing.assert_array_equal(ids_odd, ids_ref)
+    np.testing.assert_allclose(d_odd, d_ref, rtol=1e-6)
+    assert seen and all(s % index.embed_batch == 0 for s in seen)
+
+
 def test_place_index_with_mesh(rng, tiny_model_cfg, mesh8):
     """Sharded retrieval path inside PlaceIndex on the 8-device CPU mesh."""
     tcfg = TrainConfig()
