@@ -13,6 +13,8 @@ import json
 import os
 import shutil
 
+import jax
+
 from epcnet_tpu.data.tuples import (
     any_in_test_regions,
     construct_query_and_database_sets,
@@ -50,20 +52,30 @@ def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None, resumed=False):
     )
     best_dir = os.path.join(cfg.log_dir, "ckpt_best")
     best_path = os.path.join(cfg.log_dir, "best_recall.json")
+    # Multi-process: the log_dir is shared, so plain-file mutations
+    # (best_recall.json, rmtree) must run on ONE process — every process
+    # racing os.remove turns into FileNotFoundError on the losers and a
+    # distributed hang when they die before the next collective. The
+    # checkpoint saves themselves stay collective (all processes call
+    # best_mgr.save; Orbax coordinates).
+    primary = jax.process_index() == 0
     best = {"recall": -1.0}
-    if os.path.isfile(best_path):
-        if resumed:
+    if resumed:
+        if os.path.isfile(best_path):
             best["recall"] = float(json.load(open(best_path))["recall_at_1"])
             log_string(
                 f"best-recall retention resumes at {100 * best['recall']:.2f}%"
             )
-        else:
-            # Fresh run: retire the previous run's best — BOTH the score file
-            # and the checkpoint itself. A deterministic rerun hits the same
-            # step numbers, and CheckpointManager.save skips step collisions,
-            # so a surviving old ckpt_best would masquerade as the new best.
+    elif primary:
+        # Fresh run: retire the previous run's best — BOTH the score file
+        # and the checkpoint itself, UNCONDITIONALLY (an orphaned ckpt_best
+        # whose score file was lost mid-write would otherwise survive). A
+        # deterministic rerun hits the same step numbers, and
+        # CheckpointManager.save skips step collisions, so a surviving old
+        # ckpt_best would masquerade as the new best.
+        if os.path.isfile(best_path):
             os.remove(best_path)
-            shutil.rmtree(best_dir, ignore_errors=True)
+        shutil.rmtree(best_dir, ignore_errors=True)
     best_mgr = CheckpointManager(best_dir, keep=1)
 
     def on_epoch_end(tr, epoch):
@@ -79,9 +91,12 @@ def make_recall_eval_hook(cfg, mesh, every_epochs: int, df=None, resumed=False):
         log_string(f"epoch {epoch}: eval recall@1={100 * r1:.2f}%")
         if r1 > best["recall"]:
             best["recall"] = r1
+            # r1 comes from the same deterministic eval on every process, so
+            # this branch is taken consistently and the save stays collective
             best_mgr.save(tr.state)
-            with open(best_path, "w") as f:
-                json.dump({"recall_at_1": r1, "step": int(tr.state.step)}, f)
-            log_string(f"new best recall@1 -> {cfg.log_dir}/ckpt_best")
+            if primary:
+                with open(best_path, "w") as f:
+                    json.dump({"recall_at_1": r1, "step": int(tr.state.step)}, f)
+                log_string(f"new best recall@1 -> {cfg.log_dir}/ckpt_best")
 
     return on_epoch_end, best_mgr.wait

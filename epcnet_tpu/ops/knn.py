@@ -394,8 +394,11 @@ def knn_with_adjacency_pallas(
     for s in lead:
         b *= s
     xb = x.reshape(b, n, d_in).astype(jnp.float32)
-    # f32 slab + f32 trim copy + int8 adjacency row block ~ 9 B/elem
-    tile_q = _fit_tile_to_vmem(min(tile_q, max(8, n)), n, bytes_per_elem=9)
+    # f32 slab + f32 trim copy + int8 adjacency row block ~ 9 B/elem; the
+    # in-kernel proxy adds a [tile, Npad] mask-cast matmul operand on top
+    # (+2 B bf16 / +4 B f32 per element)
+    bpe = 9 + ((4 if proxy_dtype == "float32" else 2) if with_proxy else 0)
+    tile_q = _fit_tile_to_vmem(min(tile_q, max(8, n)), n, bytes_per_elem=bpe)
     import math
 
     unit = tile_q * _LANE // math.gcd(tile_q, _LANE)

@@ -16,10 +16,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from epcnet_tpu.configs import DataConfig, TrainConfig
 from epcnet_tpu.data.loader import TupleLoader
 from epcnet_tpu.data.native_loader import load_pc_files_native
 from epcnet_tpu.data.tuples import TrainingTuples
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _hardest_chunk(lat_dev, idx_chunk, q_chunk, k: int):
+    """Hardest-negative rows for one chunk of tuples.
+
+    Module-level so jax.jit's cache persists across mining refreshes: the
+    latent matrix is a traced ARGUMENT, not a closure capture — a
+    closure-captured version would bake the latents into the executable as a
+    constant and recompile on every refresh (compile churn is the known
+    bottleneck on tunnel TPUs, CLAUDE.md)."""
+    cand = lat_dev[jnp.maximum(idx_chunk, 0)]  # [c, cap, D]
+    qv = lat_dev[q_chunk][:, None, :]  # [c, 1, D]
+    d = jnp.sum((cand - qv) ** 2, axis=-1)  # [c, cap]
+    d = jnp.where(idx_chunk < 0, jnp.inf, d)
+    _, pos = jax.lax.top_k(-d, k)
+    sel = jnp.take_along_axis(idx_chunk, pos, axis=-1)
+    # re-mask selections that came from padding (pool shorter than k)
+    return jnp.where(
+        jnp.take_along_axis(idx_chunk >= 0, pos, axis=-1), sel, -1
+    )
 
 
 class MiningCache:
@@ -132,22 +155,9 @@ class MiningCache:
             pools[qi, : len(pool)] = pool
 
         lat_dev = jnp.asarray(lat)
+        kk = min(k, pools.shape[1])
 
-        @jax.jit
-        def hardest(idx_chunk, q_chunk):
-            cand = lat_dev[jnp.maximum(idx_chunk, 0)]  # [c, cap, D]
-            qv = lat_dev[q_chunk][:, None, :]  # [c, 1, D]
-            d = jnp.sum((cand - qv) ** 2, axis=-1)  # [c, cap]
-            d = jnp.where(idx_chunk < 0, jnp.inf, d)
-            kk = min(k, idx_chunk.shape[1])
-            _, pos = jax.lax.top_k(-d, kk)
-            sel = jnp.take_along_axis(idx_chunk, pos, axis=-1)
-            # re-mask selections that came from padding (pool shorter than k)
-            return jnp.where(
-                jnp.take_along_axis(idx_chunk >= 0, pos, axis=-1), sel, -1
-            )
-
-        out = np.full((n, min(k, pools.shape[1])), -1, np.int64)
+        out = np.full((n, kk), -1, np.int64)
         chunk = 4096
         for s in range(0, n, chunk):
             ids = np.arange(s, min(s + chunk, n))
@@ -157,7 +167,9 @@ class MiningCache:
                 pad = chunk - len(ids)  # one compiled shape for the sweep
                 idx_c = np.pad(idx_c, ((0, pad), (0, 0)), constant_values=-1)
                 ids = np.pad(ids, (0, pad))
-            res = np.asarray(hardest(jnp.asarray(idx_c), jnp.asarray(ids)))
+            res = np.asarray(
+                _hardest_chunk(lat_dev, jnp.asarray(idx_c), jnp.asarray(ids), kk)
+            )
             out[s : s + len(ids) - pad] = res[: len(ids) - pad]
         return out.astype(np.int64)
 

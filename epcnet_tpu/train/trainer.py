@@ -160,15 +160,32 @@ class Trainer:
             # later than its peers enters a collective the others never join
             # (a silent distributed hang). Every process contributes its
             # local flag and ALL stop at the same dispatch boundary.
+            #
+            # The allgather is a blocking host-sync collective, so running it
+            # after EVERY dispatch would serialize the async-dispatch
+            # pipeline steady-state. Poll every K dispatches instead: the
+            # counter advances identically on every process (same loop
+            # structure — the alignment the consensus already relies on), so
+            # the collectives stay matched, and a preemption is acted on
+            # within a bounded K-dispatch skew (SIGTERM grace periods are
+            # seconds-to-minutes; K dispatches are milliseconds).
             from jax.experimental import multihost_utils
 
             local_stop = should_stop
+            poll_every = 8
+            consensus = {"calls": 0, "stop": False}
 
             def should_stop():
+                if consensus["stop"]:
+                    return True
+                consensus["calls"] += 1
+                if consensus["calls"] % poll_every:
+                    return False
                 flags = multihost_utils.process_allgather(
                     np.asarray(local_stop(), np.int32)
                 )
-                return bool(np.max(flags) > 0)
+                consensus["stop"] = bool(np.max(flags) > 0)
+                return consensus["stop"]
 
         clouds_per_tuple = (
             1

@@ -265,16 +265,21 @@ def model_leaf_order(variables: Mapping[str, Any]) -> list[tuple[str, str, tuple
 def _conversion_candidates(arr: np.ndarray, source: str):
     """(converted_array, compatible_leaf_kinds) candidates for one source
     var, most-specific first. ``None`` leaf kinds = any leaf."""
-    out = [(arr, None)]
+    out = []
+    if arr.ndim == 2 and source == "torch":
+        # torch Linear stores [out, in]; the transpose must be tried BEFORE
+        # the identity candidate or a SQUARE kernel (e.g. the output_dim x
+        # output_dim gating layer) shape-matches untransposed and imports
+        # silently wrong
+        out.append((arr.T, ("kernel",)))
+    out.append((arr, None))
     if arr.ndim == 4:  # conv 1x1 kernels
         out.append((convert_dense(arr, source), ("kernel",)))
     if arr.ndim == 3 and source == "tf":
         # TF NetVLAD centroids [1, D, K] -> [K, D]
         out.append((arr[0].T, ("centroids",)))
     if arr.ndim == 2:
-        if source == "torch":
-            out.append((arr.T, ("kernel",)))  # torch Linear [out, in]
-        else:
+        if source != "torch":
             out.append((arr.T, ("centroids",)))  # TF centroids [D, K]
         out.append((arr[None], ("group_w",)))  # dense FC -> G=1 grouped
     if arr.ndim == 1:

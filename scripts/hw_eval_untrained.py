@@ -7,8 +7,11 @@ signal above the ~4/80 positive rate) is the floor row of BASELINE.md's
 hardware recall table; trained models must clear it by tens of points.
 """
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from epcnet_tpu.configs import DataConfig, EvalConfig, ModelConfig, TrainConfig
 from epcnet_tpu.data.tuples import load_pickle

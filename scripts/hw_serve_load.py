@@ -10,10 +10,13 @@ axon tunnel (~35 ms/dispatch floor); on directly-attached TPUs the same
 protocol measures true serving latency.
 """
 import os
+import sys
 import threading
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from epcnet_tpu.data.pointclouds import load_pc_file
 from epcnet_tpu.data.tuples import load_pickle

@@ -250,6 +250,27 @@ def test_automatch_rejects_partial_state_dict(rng):
         automatch_state_dict({"w": kernel0}, variables)
 
 
+def test_automatch_torch_square_linear_transposed(rng):
+    """A SQUARE torch Linear kernel must import TRANSPOSED: torch stores
+    [out, in], and shape alone cannot distinguish it from flax's [in, out]
+    for square layers (e.g. the output_dim x output_dim gating FC) — the
+    transpose candidate must outrank the identity candidate for torch."""
+    from epcnet_tpu.utils.importer import automatch_state_dict
+
+    w = rng.uniform(-1, 1, (8, 8)).astype(np.float32)  # asymmetric square
+    b = rng.uniform(-1, 1, (8,)).astype(np.float32)
+    variables = {
+        "params": {"gate": {"kernel": np.zeros((8, 8), np.float32),
+                            "bias": np.zeros((8,), np.float32)}}
+    }
+    params, stats = automatch_state_dict(
+        {"fc.weight": w, "fc.bias": b}, variables, source="torch"
+    )
+    np.testing.assert_array_equal(params["gate"]["kernel"], w.T)
+    np.testing.assert_array_equal(params["gate"]["bias"], b)
+    assert stats == {}
+
+
 def test_tf1_epcnet_name_map(rng):
     """The best-guess EPC-Net NAME_MAP accepts a plausible TF1 variable
     dict with zero skipped keys and overlays the full flagship tree."""
