@@ -25,6 +25,13 @@ from epcnet_tpu.models.vlad_head import GVLADHead
 from epcnet_tpu.ops.adjacency import packed_neighbor_mean
 from epcnet_tpu.ops.knn import knn_adjacency
 
+# adjacency_format="auto" switches the EVAL path to bit-packed adjacency
+# above this N. Measured on v5e-1 (docs/KERNELS.md capacity table): at
+# N=16384 dense int8 still compiles and is FASTER (164.5 vs 155.5
+# submaps/s), at N=32768 the dense [N, N] program fails to compile while
+# packed runs (37.5 submaps/s) — so the crossover sits exactly past 16k.
+_PACKED_AUTO_N = 16384
+
 
 class EPCNet(nn.Module):
     """Submap [B, N, 3] -> descriptor [B, output_dim] (L2-normalized fp32)."""
@@ -54,7 +61,10 @@ class EPCNet(nn.Module):
         # unpack costs more than the saved bytes (docs/KERNELS.md). Eval
         # path only: the packed consumer has no autodiff rule; training
         # keeps dense int8, whose matmul gradient XLA derives.
-        packed = cfg.adjacency_format == "packed" and not train
+        packed = not train and (
+            cfg.adjacency_format == "packed"
+            or (cfg.adjacency_format == "auto" and n > _PACKED_AUTO_N)
+        )
         fmt = "packed" if packed else "dense"
         _, adj, proxy0 = knn_adjacency(
             x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False,

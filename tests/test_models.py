@@ -146,6 +146,41 @@ def test_epcnet_packed_adjacency_matches_dense(rng, tiny_model_cfg):
     out_p = m_p.apply(v, x, train=False)
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_p))
 
+def test_adjacency_auto_selects_packed_above_threshold(rng, tiny_model_cfg,
+                                                       monkeypatch):
+    """adjacency_format='auto' must switch the EVAL path to bit-packed
+    adjacency above the measured capacity crossover (dense fails to compile
+    at N=32k on v5e; docs/KERNELS.md) — and produce identical descriptors.
+    Training stays dense regardless (packed has no autodiff rule)."""
+    import epcnet_tpu.models.epcnet as epcnet_mod
+
+    seen = []
+    real = epcnet_mod.knn_adjacency
+
+    def spy(*a, **kw):
+        seen.append(kw.get("fmt"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(epcnet_mod, "knn_adjacency", spy)
+    cfg = tiny_model_cfg.variant(adjacency_format="auto")
+    x = jnp.asarray(rng.randn(2, cfg.num_points, 3).astype(np.float32))
+    model = get_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    out_dense = model.apply(v, x, train=False)
+    assert seen[-1] == "dense"  # below threshold: dense (measured faster)
+
+    monkeypatch.setattr(epcnet_mod, "_PACKED_AUTO_N", cfg.num_points - 1)
+    out_auto = model.apply(v, x, train=False)
+    assert seen[-1] == "packed"
+    np.testing.assert_array_equal(np.asarray(out_dense), np.asarray(out_auto))
+
+    # training path must NOT take packed even above the threshold
+    model.apply(v, x, train=True, momentum=0.9,
+                mutable=["batch_stats"])
+    assert seen[-1] == "dense"
+
+
 def test_vlad_precision_default_fidelity(rng, tiny_model_cfg):
     """The opt-in vlad_precision='default' (single-pass MXU accumulation)
     must stay within ~1e-2 relative of the fp32-exact descriptors and
