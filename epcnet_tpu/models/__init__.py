@@ -11,6 +11,7 @@ from epcnet_tpu.configs import ModelConfig, epcnet_l_config, pointnetvlad_config
 from epcnet_tpu.models.epcnet import EPCNet, param_count
 from epcnet_tpu.models.pointnetvlad import PointNetVLAD
 from epcnet_tpu.models.layers import ProxyConv, SharedMLP, DynamicBatchNorm, TNet
+from epcnet_tpu.models.points_sharded import embed_points_sharded
 from epcnet_tpu.models.vlad_head import GVLADHead
 
 
@@ -32,6 +33,7 @@ __all__ = [
     "DynamicBatchNorm",
     "TNet",
     "param_count",
+    "embed_points_sharded",
     "ModelConfig",
     "epcnet_l_config",
     "pointnetvlad_config",

@@ -1,0 +1,139 @@
+"""Points-sharded EPC-Net embed: ONE submap too large for a single device,
+its POINT axis sharded over a mesh axis (SURVEY.md §5.7 — the ">100k-point
+submap" capacity promise, sequence-parallel style).
+
+This is the third rung of the capacity ladder (docs/KERNELS.md):
+  1. dense int8 adjacency         — fastest, O(N^2) HBM, up to N=16k on v5e;
+  2. adjacency_format="packed"    — 1 bit/entry, measured to N=32k;
+  3. points-sharded embed (here)  — O(N^2/ndev) distance blocks per device,
+     the [N, N] adjacency NEVER exists: neighbour means run as gathers over
+     the global kNN id lists instead of an A@F matmul.
+
+How each stage crosses the shard boundary:
+  - kNN graph: ``ring_knn_local`` (ops/retrieval.py) — candidate blocks
+    rotate around the ICI ring via ppermute; each device ends with the exact
+    global kNN ids of its own rows.
+  - ProxyConv neighbour mean: one ``all_gather`` of the [N, C] feature table
+    per layer, then a [nl, k] gather + mean. At large N this is the whole
+    point: the gather moves N·C values where the dense row-block A would be
+    N^2/ndev (at N=131k, C=64: 33 MB vs 2.1 GB/device).
+  - VLAD: per-shard partial sums + one psum each for the residual matrix and
+    assignment mass (ops/vlad.py psum_axis) — VLAD is a sum over points, so
+    this is the head's entire cross-device cost.
+  - Pad rows (N padded up to a multiple of ndev, coords at 1e6) are masked
+    out of the VLAD assignment (ops/vlad.py mask) and can never be a real
+    point's neighbour (distance ~1e12 loses every ring merge for n >= k).
+
+EVAL-ONLY by design: BatchNorm runs on running stats (a per-point affine),
+so the sharded embed is numerically the single-device embed up to summation
+order. Training keeps the dense-adjacency path (autodiff through the A@F
+matmul); giant-submap TRAINING would additionally need psum'd BN batch
+stats and is out of scope for the serving/embedding path this implements.
+
+Reference equivalent: none — the reference family (LINEAGE: TF1
+PointNetVLAD/EPC-Net) is single-GPU per submap and caps at 4096 points;
+this is the TPU-native extension SURVEY.md §5.7 planned for it.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from epcnet_tpu.configs import ModelConfig
+from epcnet_tpu.models.layers import ProxyConv, SharedMLP
+from epcnet_tpu.models.vlad_head import GVLADHead
+from epcnet_tpu.ops.retrieval import ring_knn_local
+
+
+class _ShardEPCNet(nn.Module):
+    """Per-shard body: EPCNet's exact submodule tree (proxyconv_i / lift /
+    gvlad — a trained EPCNet checkpoint applies verbatim), neighbour means
+    via global-id gathers instead of the dense adjacency matmul. Runs under
+    a caller shard_map over ``axis``; input is this shard's rows."""
+
+    cfg: ModelConfig
+    axis: str
+    ndev: int
+
+    @nn.compact
+    def __call__(self, xs, mask):
+        # xs: [nl, 3] this shard's (padded) points; mask: [nl] 1=real 0=pad
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        k = cfg.knn_k
+
+        # Exact global kNN of the local rows (ppermute ring; ids are global).
+        idx, _ = ring_knn_local(xs.astype(jnp.float32), k, self.axis, self.ndev)
+        idx = jax.lax.stop_gradient(idx)
+
+        f = xs.astype(dtype)
+        scales = []
+        for i, ch in enumerate(cfg.proxyconv_channels):
+            # Neighbour mean across shards: gather the k global rows from the
+            # all-gathered [N, C] feature table. fp32 accumulation of the
+            # k-sum mirrors the dense path's fp32-accumulated A@F matmul.
+            full = jax.lax.all_gather(f, self.axis, tiled=True)  # [N, C]
+            nbr = jnp.take(full, idx, axis=0).astype(jnp.float32)  # [nl, k, C]
+            proxy = (jnp.sum(nbr, axis=1) * (1.0 / k)).astype(dtype)
+            f = ProxyConv(ch, knn_k=k, dtype=dtype, name=f"proxyconv_{i}")(
+                f, None, False, 0.99, proxy=proxy
+            )
+            scales.append(f)
+
+        f_cat = jnp.concatenate(scales, axis=-1)
+        f_lift = SharedMLP(cfg.lift_channels, dtype=dtype, name="lift")(
+            f_cat, False, 0.99
+        )  # [nl, feature_dim]
+
+        # VLAD head with psum-completed sums; batch dim of 1 for the head's
+        # [B, N, D] contract. Output is replicated (identical on all shards).
+        desc = GVLADHead(cfg, name="gvlad", psum_axis=self.axis)(
+            f_lift[None], False, 0.99, mask=mask[None]
+        )  # [1, output_dim]
+        return desc[0]
+
+
+def embed_points_sharded(
+    variables,
+    points: jnp.ndarray,
+    cfg: ModelConfig,
+    mesh: Mesh,
+    axis: str = "db",
+) -> jnp.ndarray:
+    """Embed ONE [N, 3] submap with its point axis sharded over ``axis``.
+
+    ``variables`` are a trained EPCNet's (params + batch_stats) — the shard
+    body reuses the identical module tree, so no re-export is needed.
+    Returns the [output_dim] fp32 L2-normalized descriptor (replicated).
+    """
+    ndev = mesh.shape[axis]
+    n = points.shape[0]
+    npad = -(-n // ndev) * ndev
+    nl = npad // ndev
+    if cfg.knn_k > nl:
+        raise ValueError(
+            f"knn_k={cfg.knn_k} exceeds points-per-shard {nl} "
+            f"(N={n} over {ndev} devices)"
+        )
+    if n < cfg.knn_k:
+        raise ValueError(f"need at least knn_k={cfg.knn_k} points, got {n}")
+    xp = jnp.pad(
+        points.astype(jnp.float32), ((0, npad - n), (0, 0)), constant_values=1e6
+    )
+    mask = (jnp.arange(npad) < n).astype(jnp.float32)
+
+    model = _ShardEPCNet(cfg, axis, ndev)
+    fn = jax.shard_map(
+        lambda v, x, m: model.apply(v, x, m),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    v = jax.device_put(variables, NamedSharding(mesh, P()))
+    xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
+    mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
+    return fn(v, xp, mask)

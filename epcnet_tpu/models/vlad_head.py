@@ -25,10 +25,15 @@ from epcnet_tpu.ops.vlad import vlad_aggregate
 
 class GVLADHead(nn.Module):
     cfg: ModelConfig
+    # Mesh axis name the POINT axis is sharded over (points-sharded embed,
+    # models/points_sharded.py): the VLAD sum-over-points is completed with
+    # one psum over this axis; None (default) = single-device aggregation.
+    psum_axis: str | None = None
 
     @nn.compact
-    def __call__(self, features, train: bool, momentum):
-        # features: [B, N, D] per-point features
+    def __call__(self, features, train: bool, momentum, mask=None):
+        # features: [B, N, D] per-point features; mask: optional [B, N]
+        # point-validity mask (points-sharded embed pads N — ops/vlad.py)
         cfg = self.cfg
         c, d = cfg.vlad_clusters, cfg.feature_dim
         assert features.shape[-1] == d, (features.shape, d)
@@ -52,7 +57,8 @@ class GVLADHead(nn.Module):
         # XLA's fused softmax+matmul beat a hand-written Pallas VLAD kernel
         # on v5e (docs/KERNELS.md), so this is always the XLA path.
         v = vlad_aggregate(
-            features, logits, centroids, precision=cfg.vlad_precision
+            features, logits, centroids, precision=cfg.vlad_precision,
+            psum_axis=self.psum_axis, mask=mask,
         )  # [B, C*D]
 
         # Grouped FC (the "G" of G-VLAD).

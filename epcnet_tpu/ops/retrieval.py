@@ -129,6 +129,29 @@ def ring_knn_points(
     xp = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, 0)),
                  constant_values=1e6)
 
+    fn = jax.shard_map(
+        lambda xs: ring_knn_local(xs, k, axis, ndev),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
+    idx, dist = fn(xp)
+    return idx[:n], dist[:n]
+
+
+def ring_knn_local(xs: jnp.ndarray, k: int, axis: str, ndev: int):
+    """Per-shard body of :func:`ring_knn_points`, reusable inside a CALLER's
+    ``shard_map`` (the points-sharded model embed builds its kNN graph with
+    this — models/points_sharded.py). ``xs``: this shard's [nl, D] points;
+    must be called under a mesh axis named ``axis`` of size ``ndev``.
+    Returns (idx [nl, k] GLOBAL ids, sqdist [nl, k]) for the local rows."""
+    nl, d_in = xs.shape
+    xs = xs.astype(jnp.float32)  # distances are exact fp32 regardless of input
+    my = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
     def cross_sqdist(q, c):
         # per-coordinate diff^2 accumulation: exact fp32, same order as the
         # oracle's pairwise_sqdist at small D (ops/knn.py kernel does the same)
@@ -138,41 +161,26 @@ def ring_knn_points(
             d = d + diff * diff
         return d
 
-    def local(xs):
-        my = jax.lax.axis_index(axis)
-        perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    def hop(h, carry):
+        blk, best_idx, best_dist = carry
+        src = jax.lax.rem(my - h + ndev, ndev)  # block's origin device
+        d = cross_sqdist(xs, blk)  # [nl, nl]
+        neg, pos = jax.lax.top_k(-d, k)
+        gidx = (pos + src * nl).astype(jnp.int32)
+        cat_dist = jnp.concatenate([best_dist, -neg], axis=-1)  # [nl, 2k]
+        cat_idx = jnp.concatenate([best_idx, gidx], axis=-1)
+        mneg, mpos = jax.lax.top_k(-cat_dist, k)
+        best_idx = jnp.take_along_axis(cat_idx, mpos, axis=-1)
+        blk = jax.lax.ppermute(blk, axis, perm)
+        return blk, best_idx, -mneg
 
-        def hop(h, carry):
-            blk, best_idx, best_dist = carry
-            src = jax.lax.rem(my - h + ndev, ndev)  # block's origin device
-            d = cross_sqdist(xs, blk)  # [nl, nl]
-            neg, pos = jax.lax.top_k(-d, k)
-            gidx = (pos + src * nl).astype(jnp.int32)
-            cat_dist = jnp.concatenate([best_dist, -neg], axis=-1)  # [nl, 2k]
-            cat_idx = jnp.concatenate([best_idx, gidx], axis=-1)
-            mneg, mpos = jax.lax.top_k(-cat_dist, k)
-            best_idx = jnp.take_along_axis(cat_idx, mpos, axis=-1)
-            blk = jax.lax.ppermute(blk, axis, perm)
-            return blk, best_idx, -mneg
-
-        init = (
-            xs,
-            jnp.zeros((nl, k), jnp.int32),
-            jnp.full((nl, k), jnp.inf, jnp.float32),
-        )
-        _, idx, dist = jax.lax.fori_loop(0, ndev, hop, init)
-        return idx, dist
-
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=P(axis),
-        out_specs=(P(axis), P(axis)),
-        check_vma=False,
+    init = (
+        xs,
+        jnp.zeros((nl, k), jnp.int32),
+        jnp.full((nl, k), jnp.inf, jnp.float32),
     )
-    xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
-    idx, dist = fn(xp)
-    return idx[:n], dist[:n]
+    _, idx, dist = jax.lax.fori_loop(0, ndev, hop, init)
+    return idx, dist
 
 
 def ring_topk_neighbors(

@@ -46,6 +46,8 @@ def vlad_aggregate_jnp(
     centroids: jnp.ndarray,
     eps: float = 1e-12,
     precision: str = "highest",
+    psum_axis: str | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """VLAD aggregation (the production path — XLA fuses this optimally).
 
@@ -55,12 +57,18 @@ def vlad_aggregate_jnp(
       centroids: [C, D] cluster centres.
       precision: "highest" (fp32-exact, parity default) or "default"
         (single-pass MXU bf16 accumulation, opt-in deployment mode).
+      mask: optional [..., N] point-validity mask (1 real, 0 pad). Pad
+        points' assignment mass is zeroed so they contribute nothing to the
+        sum — the points-sharded embed pads N up to the device count
+        (models/points_sharded.py).
 
     Returns:
       [..., C*D] L2-normalized VLAD vector (fp32).
     """
     f = features.astype(jnp.float32)
     a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # [..., N, C]
+    if mask is not None:
+        a = a * mask.astype(jnp.float32)[..., None]
     s = jnp.einsum(
         "...nc,...nd->...cd",
         a,
@@ -69,6 +77,14 @@ def vlad_aggregate_jnp(
         precision=_PRECISIONS[precision],
     )
     asum = jnp.sum(a, axis=-2)  # [..., C]
+    if psum_axis is not None:
+        # Points-sharded aggregation (models/points_sharded.py): N is split
+        # over a mesh axis, so the per-cluster residual sum and assignment
+        # mass are PARTIAL here — one psum each completes them before the
+        # (order-invariant) normalization tail. VLAD is a sum over points,
+        # so this is the entire cross-device cost of the head.
+        s = jax.lax.psum(s, psum_axis)
+        asum = jax.lax.psum(asum, psum_axis)
     return _finish(s, asum, centroids.astype(jnp.float32), eps)
 
 
@@ -79,10 +95,15 @@ def vlad_aggregate(
     eps: float = 1e-12,
     impl: str = "auto",
     precision: str = "highest",
+    psum_axis: str | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     if impl not in ("auto", "jnp"):
         raise ValueError(
             f"unknown vlad impl {impl!r} (the Pallas kernel was removed after "
             f"measuring slower than XLA — docs/KERNELS.md)"
         )
-    return vlad_aggregate_jnp(features, logits, centroids, eps=eps, precision=precision)
+    return vlad_aggregate_jnp(
+        features, logits, centroids, eps=eps, precision=precision,
+        psum_axis=psum_axis, mask=mask,
+    )

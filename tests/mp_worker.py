@@ -126,6 +126,27 @@ def scenario_retrieval(args, result: dict) -> None:
     idx, _ = ring_topk_neighbors(q, db, 6, mesh)
     result["ring_ok"] = bool(np.array_equal(np.asarray(idx), oracle))
 
+    # Points-sharded embed across the SAME process boundaries: ppermute ring
+    # kNN + per-layer all_gather + psum-completed VLAD over Gloo, checked
+    # against the local single-device dense path (non-divisible N exercises
+    # the masked pad rows).
+    import jax.numpy as jnp
+
+    from epcnet_tpu.configs import ModelConfig
+    from epcnet_tpu.models import EPCNet, embed_points_sharded
+
+    cfg = ModelConfig(
+        num_points=96, knn_k=8, use_pallas=False, compute_dtype="float32",
+        proxyconv_channels=(8, 8), lift_channels=(16, 32), feature_dim=32,
+        vlad_clusters=8, vlad_groups=4, vlad_group_dim=8,
+    )
+    pts = jnp.asarray(rng.uniform(-1, 1, (91, 3)).astype(np.float32))
+    model = EPCNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), pts[None], train=False)
+    ref = np.asarray(model.apply(variables, pts[None], train=False)[0])
+    out = np.asarray(embed_points_sharded(variables, pts, cfg, mesh))
+    result["points_sharded_ok"] = bool(np.allclose(out, ref, atol=2e-4))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

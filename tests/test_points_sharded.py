@@ -1,0 +1,83 @@
+"""Points-sharded embed (models/points_sharded.py): the sharded giant-submap
+path must reproduce the single-device EPCNet descriptor — sharding is a
+layout change, not a semantics change (same contract as the DP tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from epcnet_tpu.configs import ModelConfig
+from epcnet_tpu.models import EPCNet, embed_points_sharded
+
+
+def _f32_cfg(**kw):
+    base = dict(
+        num_points=128,
+        knn_k=8,
+        use_pallas=False,
+        compute_dtype="float32",
+        proxyconv_channels=(16, 16),
+        lift_channels=(32, 64),
+        feature_dim=64,
+        vlad_clusters=8,
+        vlad_groups=4,
+        vlad_group_dim=16,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _init_and_reference(cfg, pts):
+    model = EPCNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), pts[None], train=False)
+    ref = model.apply(variables, pts[None], train=False)[0]
+    return variables, np.asarray(ref)
+
+
+@pytest.mark.parametrize("n", [128, 91])
+def test_matches_single_device_f32(rng, mesh8, n):
+    # n=91 is NOT divisible by 8: exercises pad rows + the VLAD mask.
+    cfg = _f32_cfg()
+    pts = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    variables, ref = _init_and_reference(cfg, pts)
+    out = np.asarray(embed_points_sharded(variables, pts, cfg, mesh8))
+    assert out.shape == (cfg.output_dim,)
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+    # descriptors are L2-normalized
+    np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-5)
+
+
+def test_matches_single_device_bf16(rng, mesh8, tiny_model_cfg):
+    # Default bf16 compute: gather-mean vs A@F matmul round differently in
+    # bf16, so compare by cosine (the retrieval-relevant metric).
+    pts = jnp.asarray(rng.uniform(-1, 1, (120, 3)).astype(np.float32))
+    variables, ref = _init_and_reference(tiny_model_cfg, pts)
+    out = np.asarray(embed_points_sharded(variables, pts, tiny_model_cfg, mesh8))
+    cos = float(np.dot(out, ref) / (np.linalg.norm(out) * np.linalg.norm(ref)))
+    assert cos > 0.999, cos
+
+
+def test_pad_points_do_not_leak(rng, mesh8):
+    """Descriptor of n points must not depend on HOW MUCH padding the device
+    count forces: compare n=91 (5 pad rows) against the same points on a
+    1-device mesh (no pad rows at all)."""
+    from jax.sharding import Mesh
+
+    cfg = _f32_cfg()
+    pts = jnp.asarray(rng.uniform(-1, 1, (91, 3)).astype(np.float32))
+    variables, _ = _init_and_reference(cfg, pts)
+    out8 = np.asarray(embed_points_sharded(variables, pts, cfg, mesh8))
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("db",))
+    out1 = np.asarray(embed_points_sharded(variables, pts, cfg, mesh1))
+    np.testing.assert_allclose(out8, out1, atol=2e-4)
+
+
+def test_k_exceeds_shard_raises(rng, mesh8):
+    cfg = _f32_cfg(knn_k=20)
+    pts = jnp.asarray(rng.uniform(-1, 1, (32, 3)).astype(np.float32))  # nl=4
+    variables, _ = _init_and_reference(cfg, jnp.asarray(
+        rng.uniform(-1, 1, (128, 3)).astype(np.float32)))
+    with pytest.raises(ValueError, match="exceeds points-per-shard"):
+        embed_points_sharded(variables, pts, cfg, mesh8)
