@@ -102,16 +102,25 @@ def embed_points_sharded(
     cfg: ModelConfig,
     mesh: Mesh,
     axis: str = "db",
+    npad_multiple: int = 1,
 ) -> jnp.ndarray:
     """Embed ONE [N, 3] submap with its point axis sharded over ``axis``.
 
     ``variables`` are a trained EPCNet's (params + batch_stats) — the shard
     body reuses the identical module tree, so no re-export is needed.
     Returns the [output_dim] fp32 L2-normalized descriptor (replicated).
+
+    ``npad_multiple``: round the padded N up to a multiple of this (beyond
+    the always-required multiple of the device count). Pad rows are masked,
+    so the descriptor is invariant to it — callers embedding many
+    DIFFERENT-sized clouds (cli/embed.py) bucket sizes with it so XLA
+    compiles once per bucket instead of once per distinct N (the same
+    recompile trap serving hit — cli/serve.py).
     """
     ndev = mesh.shape[axis]
     n = points.shape[0]
-    npad = -(-n // ndev) * ndev
+    q = ndev * max(1, npad_multiple)
+    npad = -(-n // q) * q
     nl = npad // ndev
     if cfg.knn_k > nl:
         raise ValueError(

@@ -464,3 +464,105 @@ def test_best_recall_retired_on_fresh_run(cli_root, tmp_path):
     assert best["recall_at_1"] <= 1.0  # the NEW run's actual recall
     assert os.path.isdir(os.path.join(log_dir, "ckpt_best"))
     assert not os.path.exists(sentinel)  # stale checkpoint was cleared too
+
+
+@pytest.fixture(scope="module")
+def embed_log_dir(cli_root, tmp_path_factory):
+    """A trained tiny-model log dir shared by the embed-CLI tests (f32 so
+    the points-sharded path can be compared to the dense one exactly)."""
+    from epcnet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path_factory.mktemp("embed") / "log")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.compute_dtype=float32",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", cli_root, "--log_dir", log_dir]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+    return log_dir
+
+
+def test_embed_cli_batched(embed_log_dir, tmp_path, rng):
+    """cli/embed standard path: .bin + .npy inputs -> [M, D] descriptors
+    matching the library embed of the same clouds."""
+    from epcnet_tpu.cli.embed import main as embed_main
+
+    clouds = [rng.uniform(-1, 1, (128, 3)).astype(np.float32) for _ in range(3)]
+    paths = []
+    for i, c in enumerate(clouds):
+        if i == 0:
+            p = str(tmp_path / "c0.npy")
+            np.save(p, c)
+        else:
+            p = str(tmp_path / f"c{i}.bin")
+            c.astype(np.float64).tofile(p)  # reference fp64 .bin format
+        paths.append(p)
+    out = str(tmp_path / "descs.npy")
+    embed_main(["--log_dir", embed_log_dir, "--output", out,
+                "--batch_size", "2", *paths])
+
+    descs = np.load(out)
+    assert descs.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(descs, axis=1), 1.0, atol=1e-5)
+    manifest = json.loads(open(str(tmp_path / "descs.json")).read())
+    assert manifest["files"] == paths
+
+    # matches the library embed path on the same checkpoint
+    import jax.numpy as jnp
+
+    from epcnet_tpu.configs import ExperimentConfig
+    from epcnet_tpu.train import create_train_state, build_embed_fn
+    from epcnet_tpu.train.checkpoint import CheckpointManager
+
+    cfg = ExperimentConfig.from_json(
+        open(os.path.join(embed_log_dir, "config.json")).read())
+    state = CheckpointManager(f"{embed_log_dir}/ckpt", 2).restore(
+        create_train_state(cfg.model, cfg.train), require=True)
+    ref = np.asarray(build_embed_fn(cfg.model)(
+        state.params, state.batch_stats, jnp.asarray(np.stack(clouds))))
+    np.testing.assert_allclose(descs, ref, atol=1e-5)
+
+
+def test_embed_cli_points_sharded(embed_log_dir, tmp_path, rng):
+    """--points_sharded embeds arbitrary-sized clouds; a num_points-sized
+    cloud reproduces the standard path's descriptor (fp32 model)."""
+    from epcnet_tpu.cli.embed import main as embed_main
+
+    c128 = rng.uniform(-1, 1, (128, 3)).astype(np.float32)
+    c91 = rng.uniform(-1, 1, (91, 3)).astype(np.float32)   # not a valid batched size
+    c300 = rng.uniform(-1, 1, (300, 3)).astype(np.float32)  # > num_points
+    for name, c in [("a.npy", c128), ("b.npy", c91), ("d.npy", c300)]:
+        np.save(str(tmp_path / name), c)
+
+    out_std = str(tmp_path / "std.npy")
+    embed_main(["--log_dir", embed_log_dir, "--output", out_std,
+                str(tmp_path / "a.npy")])
+    out_sh = str(tmp_path / "sharded.npy")
+    embed_main(["--log_dir", embed_log_dir, "--output", out_sh,
+                "--points_sharded", "--pad_multiple", "16",
+                str(tmp_path / "a.npy"), str(tmp_path / "b.npy"),
+                str(tmp_path / "d.npy")])
+
+    std, sh = np.load(out_std), np.load(out_sh)
+    assert sh.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(sh, axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(sh[0], std[0], atol=2e-4)
+
+
+def test_embed_cli_size_mismatch_raises(embed_log_dir, tmp_path, rng):
+    """The batched path enforces the fixed-size contract with a pointer to
+    --points_sharded."""
+    from epcnet_tpu.cli.embed import main as embed_main
+
+    np.save(str(tmp_path / "bad.npy"), rng.uniform(-1, 1, (64, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="points_sharded"):
+        embed_main(["--log_dir", embed_log_dir, "--output",
+                    str(tmp_path / "x.npy"), str(tmp_path / "bad.npy")])
