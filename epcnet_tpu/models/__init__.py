@@ -11,7 +11,10 @@ from epcnet_tpu.configs import ModelConfig, epcnet_l_config, pointnetvlad_config
 from epcnet_tpu.models.epcnet import EPCNet, param_count
 from epcnet_tpu.models.pointnetvlad import PointNetVLAD
 from epcnet_tpu.models.layers import ProxyConv, SharedMLP, DynamicBatchNorm, TNet
-from epcnet_tpu.models.points_sharded import embed_points_sharded
+from epcnet_tpu.models.points_sharded import (
+    build_points_sharded_distill_fn,
+    embed_points_sharded,
+)
 from epcnet_tpu.models.vlad_head import GVLADHead
 
 
@@ -34,6 +37,7 @@ __all__ = [
     "TNet",
     "param_count",
     "embed_points_sharded",
+    "build_points_sharded_distill_fn",
     "ModelConfig",
     "epcnet_l_config",
     "pointnetvlad_config",

@@ -23,9 +23,17 @@ from epcnet_tpu.ops.adjacency import neighbor_mean
 
 
 class DynamicBatchNorm(nn.Module):
-    """BatchNorm over all leading axes with a dynamic (traced) momentum."""
+    """BatchNorm over all leading axes with a dynamic (traced) momentum.
+
+    ``axis_name``: optional mesh axis the LEADING (point) axis is sharded
+    over — batch statistics are completed with psums so the sharded train
+    step sees the same mean/var as the single-device one
+    (models/points_sharded.py). Static module config: the parameter /
+    batch_stats tree is unchanged, so trained checkpoints apply verbatim.
+    """
 
     epsilon: float = 1e-3  # reference tf_util uses 1e-3 [LINEAGE]
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, use_running_average: bool, momentum):
@@ -38,14 +46,27 @@ class DynamicBatchNorm(nn.Module):
         xf = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif self.axis_name is not None:
+            # Two-pass cross-shard stats (mean first, then centred second
+            # moment) — numerically the dense path's jnp.mean/var, completed
+            # with one tiny [C] psum per pass over the point-sharding axis.
+            red = tuple(range(x.ndim - 1))
+            total = x.size // c * jax.lax.psum(1, self.axis_name)
+            mean = jax.lax.psum(jnp.sum(xf, axis=red), self.axis_name) / total
+            var = (
+                jax.lax.psum(jnp.sum((xf - mean) ** 2, axis=red), self.axis_name)
+                / total
+            )
         else:
             red = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=red)
             var = jnp.var(xf, axis=red)
-            if not self.is_initializing():
-                m = jnp.asarray(momentum, jnp.float32)
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        if not use_running_average and not self.is_initializing():
+            # psum'd stats are identical on every shard, so the running-stat
+            # update stays consistent across devices in the sharded case
+            m = jnp.asarray(momentum, jnp.float32)
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return y.astype(x.dtype)
 
@@ -57,6 +78,7 @@ class SharedMLP(nn.Module):
     widths: Sequence[int]
     dtype: jnp.dtype = jnp.bfloat16
     activate_final: bool = True
+    bn_axis: str | None = None  # point-sharded training (DynamicBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool, momentum):
@@ -64,7 +86,9 @@ class SharedMLP(nn.Module):
             x = nn.Dense(w, dtype=self.dtype, name=f"dense_{i}")(x)
             last = i == len(self.widths) - 1
             if not last or self.activate_final:
-                x = DynamicBatchNorm(name=f"bn_{i}")(x, not train, momentum)
+                x = DynamicBatchNorm(name=f"bn_{i}", axis_name=self.bn_axis)(
+                    x, not train, momentum
+                )
                 x = nn.relu(x)
         return x
 
@@ -82,6 +106,7 @@ class ProxyConv(nn.Module):
     out_channels: int
     knn_k: int = 20
     dtype: jnp.dtype = jnp.bfloat16
+    bn_axis: str | None = None  # point-sharded training (DynamicBatchNorm)
 
     @nn.compact
     def __call__(self, features, adjacency, train: bool, momentum, proxy=None):
@@ -97,7 +122,9 @@ class ProxyConv(nn.Module):
             )
         h = jnp.concatenate([proxy - features, features], axis=-1)
         h = nn.Dense(self.out_channels, dtype=self.dtype, name="dense")(h)
-        h = DynamicBatchNorm(name="bn")(h, not train, momentum)
+        h = DynamicBatchNorm(name="bn", axis_name=self.bn_axis)(
+            h, not train, momentum
+        )
         return nn.relu(h)
 
 

@@ -24,11 +24,16 @@ How each stage crosses the shard boundary:
     out of the VLAD assignment (ops/vlad.py mask) and can never be a real
     point's neighbour (distance ~1e12 loses every ring merge for n >= k).
 
-EVAL-ONLY by design: BatchNorm runs on running stats (a per-point affine),
-so the sharded embed is numerically the single-device embed up to summation
-order. Training keeps the dense-adjacency path (autodiff through the A@F
-matmul); giant-submap TRAINING would additionally need psum'd BN batch
-stats and is out of scope for the serving/embedding path this implements.
+Inference (``embed_points_sharded``) runs BatchNorm on running stats, so
+the sharded embed is numerically the single-device embed up to summation
+order. TRAINING is supported too (``build_points_sharded_distill_fn``):
+BN batch statistics are completed with per-layer [C] psums
+(layers.DynamicBatchNorm axis_name), the loss is differentiated per shard
+(all_gather transposes to psum_scatter, the neighbour gather to a
+scatter-add), and one final psum sums the per-shard parameter-gradient
+contributions — the standard explicit-SPMD pattern. Train mode requires N
+divisible by the device count (pad rows would pollute BN batch stats);
+drop up to ndev-1 points, negligible at giant-submap scale.
 
 Reference equivalent: none — the reference family (LINEAGE: TF1
 PointNetVLAD/EPC-Net) is single-GPU per submap and caps at 4096 points;
@@ -59,8 +64,10 @@ class _ShardEPCNet(nn.Module):
     ndev: int
 
     @nn.compact
-    def __call__(self, xs, mask):
-        # xs: [nl, 3] this shard's (padded) points; mask: [nl] 1=real 0=pad
+    def __call__(self, xs, mask=None, train: bool = False, momentum=0.99):
+        # xs: [nl, 3] this shard's (padded) points; mask: optional [nl]
+        # 1=real 0=pad (None = no pad rows — required in train mode, where
+        # pad activations would pollute the BN batch statistics)
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         k = cfg.knn_k
@@ -75,23 +82,27 @@ class _ShardEPCNet(nn.Module):
             # Neighbour mean across shards: gather the k global rows from the
             # all-gathered [N, C] feature table. fp32 accumulation of the
             # k-sum mirrors the dense path's fp32-accumulated A@F matmul.
+            # Differentiable: all_gather transposes to psum_scatter, the
+            # gather to a scatter-add — XLA collectives only.
             full = jax.lax.all_gather(f, self.axis, tiled=True)  # [N, C]
             nbr = jnp.take(full, idx, axis=0).astype(jnp.float32)  # [nl, k, C]
             proxy = (jnp.sum(nbr, axis=1) * (1.0 / k)).astype(dtype)
-            f = ProxyConv(ch, knn_k=k, dtype=dtype, name=f"proxyconv_{i}")(
-                f, None, False, 0.99, proxy=proxy
-            )
+            f = ProxyConv(
+                ch, knn_k=k, dtype=dtype, bn_axis=self.axis,
+                name=f"proxyconv_{i}",
+            )(f, None, train, momentum, proxy=proxy)
             scales.append(f)
 
         f_cat = jnp.concatenate(scales, axis=-1)
-        f_lift = SharedMLP(cfg.lift_channels, dtype=dtype, name="lift")(
-            f_cat, False, 0.99
-        )  # [nl, feature_dim]
+        f_lift = SharedMLP(
+            cfg.lift_channels, dtype=dtype, bn_axis=self.axis, name="lift"
+        )(f_cat, train, momentum)  # [nl, feature_dim]
 
         # VLAD head with psum-completed sums; batch dim of 1 for the head's
         # [B, N, D] contract. Output is replicated (identical on all shards).
         desc = GVLADHead(cfg, name="gvlad", psum_axis=self.axis)(
-            f_lift[None], False, 0.99, mask=mask[None]
+            f_lift[None], train, momentum,
+            mask=None if mask is None else mask[None],
         )  # [1, output_dim]
         return desc[0]
 
@@ -146,3 +157,80 @@ def embed_points_sharded(
     xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
     return fn(v, xp, mask)
+
+
+def build_points_sharded_distill_fn(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    axis: str = "db",
+):
+    """Gradient step for GIANT-submap distillation: the student embeds one
+    points-sharded cloud and mimics a precomputed teacher descriptor
+    (losses.distillation_loss — the same objective cli/distill.py trains
+    at reference scale).
+
+    Returns jitted ``fn(params, batch_stats, points [N, 3], teacher_desc
+    [output_dim], momentum) -> (loss, grads, new_batch_stats)`` with
+    ``grads`` matching the params tree (psum-completed, replicated) and
+    ``new_batch_stats`` the BN running stats after this step. N must be
+    divisible by the mesh axis size (see module docstring). Plug ``grads``
+    into any optax optimizer.
+    """
+    from epcnet_tpu.losses import distillation_loss
+
+    ndev = mesh.shape[axis]
+    model = _ShardEPCNet(cfg, axis, ndev)
+
+    def local(params, batch_stats, xs, target, momentum):
+        def loss_fn(p):
+            desc, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                xs, None, True, momentum, mutable=["batch_stats"],
+            )
+            return distillation_loss(desc, target), updates["batch_stats"]
+
+        (loss, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # pmean, NOT psum: psum is its own transpose, so each shard's local
+        # grad already carries every shard's cotangent through the in-graph
+        # collectives (the SPMD program differentiates the sum of the ndev
+        # replicated loss copies — a uniform ndev× overcount, measured
+        # exactly 8x on the 8-device mesh). pmean both completes the
+        # cross-shard sum and removes that factor, for pre- and
+        # post-collective parameters alike.
+        g = jax.lax.pmean(g, axis)
+        return loss, g, new_stats
+
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    def step(params, batch_stats, points, teacher_desc, momentum=0.99):
+        n = points.shape[0]
+        if n % ndev != 0:
+            raise ValueError(
+                f"points-sharded training needs N divisible by the {ndev}-way "
+                f"'{axis}' axis, got N={n} (drop {n % ndev} points)"
+            )
+        if cfg.knn_k > n // ndev:
+            raise ValueError(
+                f"knn_k={cfg.knn_k} exceeds points-per-shard {n // ndev}"
+            )
+        xp = jax.device_put(
+            points.astype(jnp.float32), NamedSharding(mesh, P(axis))
+        )
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(params, rep)
+        batch_stats = jax.device_put(batch_stats, rep)
+        momentum = jax.device_put(jnp.asarray(momentum, jnp.float32), rep)
+        teacher_desc = jax.device_put(
+            jnp.asarray(teacher_desc, jnp.float32), rep
+        )
+        return fn(params, batch_stats, xp, teacher_desc, momentum)
+
+    return step

@@ -147,6 +147,33 @@ def scenario_retrieval(args, result: dict) -> None:
     out = np.asarray(embed_points_sharded(variables, pts, cfg, mesh))
     result["points_sharded_ok"] = bool(np.allclose(out, ref, atol=2e-4))
 
+    # ... and its TRAINING step: the cross-process points-sharded gradient
+    # must equal the dense single-process one (divisible N for BN parity).
+    from epcnet_tpu.losses import distillation_loss
+    from epcnet_tpu.models import build_points_sharded_distill_fn
+
+    pts96 = jnp.asarray(rng.uniform(-1, 1, (96, 3)).astype(np.float32))
+    target = np.asarray(ref / np.linalg.norm(ref), np.float32)
+
+    def dense_loss(p):
+        desc, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            pts96[None], train=True, momentum=0.9, mutable=["batch_stats"],
+        )
+        return distillation_loss(desc[0], jnp.asarray(target))
+
+    ref_g = jax.grad(dense_loss)(variables["params"])
+    step = build_points_sharded_distill_fn(cfg, mesh)
+    _, g, _ = step(
+        variables["params"], variables["batch_stats"], pts96, target, momentum=0.9
+    )
+    result["points_sharded_grad_ok"] = all(
+        np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(ref_g)
+        )
+    )
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

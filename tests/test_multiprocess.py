@@ -152,6 +152,9 @@ def test_multiprocess_sharded_and_ring_retrieval(mp_dataset):
         # points-sharded embed (ring kNN + all_gather ProxyConv + psum VLAD)
         # reproduces the single-device descriptor across process boundaries
         assert r["points_sharded_ok"] is True
+        # ... and its training step's pmean-completed gradients match the
+        # dense single-process gradients
+        assert r["points_sharded_grad_ok"] is True
 
 
 def test_multiprocess_preemption_resumes_exactly(mp_dataset):

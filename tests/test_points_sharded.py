@@ -81,3 +81,94 @@ def test_k_exceeds_shard_raises(rng, mesh8):
         rng.uniform(-1, 1, (128, 3)).astype(np.float32)))
     with pytest.raises(ValueError, match="exceeds points-per-shard"):
         embed_points_sharded(variables, pts, cfg, mesh8)
+
+
+# ---- giant-submap TRAINING (build_points_sharded_distill_fn) ----
+
+
+def test_distill_grads_match_dense(rng, mesh8):
+    """Points-sharded training is the dense train step in a different
+    layout: loss, parameter gradients, and the BN running-stat updates all
+    match the single-device train-mode forward (fp32, divisible N)."""
+    import optax  # noqa: F401  (environment sanity)
+
+    from epcnet_tpu.losses import distillation_loss
+    from epcnet_tpu.models import build_points_sharded_distill_fn
+
+    cfg = _f32_cfg()
+    pts = jnp.asarray(rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+    target = rng.uniform(-1, 1, (cfg.output_dim,)).astype(np.float32)
+    target = jnp.asarray(target / np.linalg.norm(target))
+
+    model = EPCNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), pts[None], train=False)
+
+    def dense_loss(params):
+        desc, updates = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pts[None], train=True, momentum=0.9, mutable=["batch_stats"],
+        )
+        return distillation_loss(desc[0], target), updates["batch_stats"]
+
+    (ref_loss, ref_stats), ref_g = jax.value_and_grad(
+        dense_loss, has_aux=True)(variables["params"])
+
+    step = build_points_sharded_distill_fn(cfg, mesh8)
+    loss, g, stats = step(
+        variables["params"], variables["batch_stats"], pts, target, momentum=0.9
+    )
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    flat_ref = jax.tree_util.tree_leaves(ref_g)
+    flat = jax.tree_util.tree_leaves(g)
+    assert len(flat) == len(flat_ref)
+    for a, b in zip(flat, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(stats), jax.tree_util.tree_leaves(ref_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_distill_step_learns(rng, mesh8):
+    """A few optimizer steps on the points-sharded gradient reduce the
+    distillation loss (end-to-end trainability, bf16 default dtype)."""
+    import optax
+
+    from epcnet_tpu.models import build_points_sharded_distill_fn
+
+    cfg = _f32_cfg(compute_dtype="bfloat16")
+    pts = jnp.asarray(rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+    target = rng.uniform(-1, 1, (cfg.output_dim,)).astype(np.float32)
+    target = jnp.asarray(target / np.linalg.norm(target))
+
+    model = EPCNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), pts[None], train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = build_points_sharded_distill_fn(cfg, mesh8)
+
+    losses = []
+    for _ in range(5):
+        loss, g, stats = step(params, stats, pts, target, momentum=0.9)
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_distill_nondivisible_raises(rng, mesh8):
+    from epcnet_tpu.models import build_points_sharded_distill_fn
+
+    cfg = _f32_cfg()
+    step = build_points_sharded_distill_fn(cfg, mesh8)
+    pts = jnp.asarray(rng.uniform(-1, 1, (91, 3)).astype(np.float32))
+    target = jnp.zeros((cfg.output_dim,), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        step(None, None, pts, target)
