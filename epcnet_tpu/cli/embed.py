@@ -42,16 +42,15 @@ from epcnet_tpu.utils.logging import log_string
 
 def load_cloud(path: str, dataset_root: str = "") -> np.ndarray:
     """One cloud file -> [N, 3] float32. N is inferred, not assumed."""
-    full = os.path.join(dataset_root, path) if dataset_root else path
-    if full.endswith(".npy"):
+    if path.endswith(".npy"):
+        full = os.path.join(dataset_root, path) if dataset_root else path
         pc = np.load(full)
         if pc.ndim != 2 or pc.shape[1] != 3:
             raise ValueError(f"{full}: expected [N, 3] array, got {pc.shape}")
         return np.asarray(pc, np.float32)
-    pc = np.fromfile(full, dtype=np.float64)
-    if pc.size == 0 or pc.size % 3 != 0:
-        raise ValueError(f"{full}: expected float64 xyz triples, got {pc.size} values")
-    return pc.reshape(-1, 3).astype(np.float32)
+    from epcnet_tpu.data.pointclouds import load_pc_file
+
+    return load_pc_file(path, dataset_root, num_points=None)
 
 
 def main(argv=None):

@@ -17,10 +17,21 @@ import os
 import numpy as np
 
 
-def load_pc_file(filename: str, dataset_root: str = "", num_points: int = 4096) -> np.ndarray:
-    """One submap: .bin float64 xyz -> [num_points, 3] float32."""
+def load_pc_file(
+    filename: str, dataset_root: str = "", num_points: int | None = 4096
+) -> np.ndarray:
+    """One submap: .bin float64 xyz -> [num_points, 3] float32.
+
+    ``num_points=None`` infers N from the file size (cli/embed.py reads
+    arbitrary-sized clouds for the points-sharded path)."""
     path = os.path.join(dataset_root, filename) if dataset_root else filename
     pc = np.fromfile(path, dtype=np.float64)
+    if num_points is None:
+        if pc.size == 0 or pc.size % 3 != 0:
+            raise ValueError(
+                f"{path}: expected float64 xyz triples, got {pc.size} values"
+            )
+        return pc.reshape(-1, 3).astype(np.float32)
     if pc.size != num_points * 3:
         raise ValueError(
             f"{path}: expected {num_points * 3} float64 values, got {pc.size}"

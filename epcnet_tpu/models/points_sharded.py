@@ -42,6 +42,8 @@ this is the TPU-native extension SURVEY.md §5.7 planned for it.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -145,18 +147,30 @@ def embed_points_sharded(
     )
     mask = (jnp.arange(npad) < n).astype(jnp.float32)
 
-    model = _ShardEPCNet(cfg, axis, ndev)
-    fn = jax.shard_map(
-        lambda v, x, m: model.apply(v, x, m),
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
-        out_specs=P(),
-        check_vma=False,
-    )
+    fn = _cached_embed_fn(cfg, mesh, axis, ndev)
     v = jax.device_put(variables, NamedSharding(mesh, P()))
     xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
     return fn(v, xp, mask)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_embed_fn(cfg: ModelConfig, mesh: Mesh, axis: str, ndev: int):
+    """One jitted shard_map per (cfg, mesh, axis): a fresh closure per call
+    would miss jax's jit cache and re-trace + re-compile EVERY embed (~16 s
+    each on the CPU mesh, measured) — exactly the recompile tax the
+    npad_multiple bucketing exists to avoid. Cached, only a new padded
+    shape compiles (once per bucket)."""
+    model = _ShardEPCNet(cfg, axis, ndev)
+    return jax.jit(
+        jax.shard_map(
+            lambda v, x, m: model.apply(v, x, m),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
 
 
 def build_points_sharded_distill_fn(

@@ -265,3 +265,20 @@ def test_synthetic_hard_mode_structure(tmp_path):
     d_same = np.linalg.norm(np.cov(a.T) - np.cov(b.T))
     d_diff = np.linalg.norm(np.cov(a.T) - np.cov(c.T))
     assert d_same < d_diff  # structural similarity orders correctly
+
+
+def test_load_pc_file_inferred_size(tmp_path, rng):
+    """num_points=None infers N from the file (cli/embed.py arbitrary-size
+    clouds); wrong-size files still fail fast in fixed mode."""
+    import numpy as np
+
+    from epcnet_tpu.data.pointclouds import load_pc_file
+
+    p = str(tmp_path / "c.bin")
+    cloud = rng.uniform(-1, 1, (91, 3))
+    cloud.astype(np.float64).tofile(p)
+    out = load_pc_file(p, num_points=None)
+    assert out.shape == (91, 3) and out.dtype == np.float32
+    np.testing.assert_allclose(out, cloud.astype(np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        load_pc_file(p, num_points=4096)

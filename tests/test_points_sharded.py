@@ -172,3 +172,18 @@ def test_distill_nondivisible_raises(rng, mesh8):
     target = jnp.zeros((cfg.output_dim,), jnp.float32)
     with pytest.raises(ValueError, match="divisible"):
         step(None, None, pts, target)
+
+
+def test_embed_fn_is_cached(rng, mesh8):
+    """Repeated embeds reuse ONE jitted shard_map (a fresh closure per call
+    would re-trace + re-compile every cloud, defeating npad_multiple
+    bucketing — the serving recompile trap)."""
+    from epcnet_tpu.models.points_sharded import _cached_embed_fn
+
+    cfg = _f32_cfg()
+    pts = jnp.asarray(rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+    variables, _ = _init_and_reference(cfg, pts)
+    before = _cached_embed_fn.cache_info().hits
+    embed_points_sharded(variables, pts, cfg, mesh8)
+    embed_points_sharded(variables, pts, cfg, mesh8)
+    assert _cached_embed_fn.cache_info().hits >= before + 1
