@@ -13,6 +13,7 @@ from epcnet_tpu.models.pointnetvlad import PointNetVLAD
 from epcnet_tpu.models.layers import ProxyConv, SharedMLP, DynamicBatchNorm, TNet
 from epcnet_tpu.models.points_sharded import (
     build_points_sharded_distill_fn,
+    build_points_sharded_train_step,
     embed_points_sharded,
 )
 from epcnet_tpu.models.vlad_head import GVLADHead
@@ -38,6 +39,7 @@ __all__ = [
     "param_count",
     "embed_points_sharded",
     "build_points_sharded_distill_fn",
+    "build_points_sharded_train_step",
     "ModelConfig",
     "epcnet_l_config",
     "pointnetvlad_config",

@@ -67,28 +67,44 @@ class _ShardEPCNet(nn.Module):
 
     @nn.compact
     def __call__(self, xs, mask=None, train: bool = False, momentum=0.99):
-        # xs: [nl, 3] this shard's (padded) points; mask: optional [nl]
-        # 1=real 0=pad (None = no pad rows — required in train mode, where
-        # pad activations would pollute the BN batch statistics)
+        # xs: [nl, 3] ONE cloud's shard, or [T, nl, 3] a tuple of T clouds
+        # sharded on the point axis (the metric-learning train step stacks
+        # query/positives/negatives so BN statistics span the whole tuple,
+        # exactly like the dense step's [B*T, N, 3] flatten —
+        # train/step.py build_train_step). mask: optional [nl] 1=real 0=pad
+        # (None = no pad rows — required in train mode, where pad
+        # activations would pollute the BN batch statistics).
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         k = cfg.knn_k
+        single = xs.ndim == 2
+        if single:
+            xs = xs[None]
+        t, nl, _ = xs.shape
 
-        # Exact global kNN of the local rows (ppermute ring; ids are global).
-        idx, _ = ring_knn_local(xs.astype(jnp.float32), k, self.axis, self.ndev)
+        # Exact global kNN per cloud (ppermute ring; ids are global).
+        # Unrolled over T — tuples are small (1 query + P pos + Ng neg + 1).
+        idx = jnp.stack([
+            ring_knn_local(xs[i].astype(jnp.float32), k, self.axis, self.ndev)[0]
+            for i in range(t)
+        ])  # [T, nl, k]
         idx = jax.lax.stop_gradient(idx)
 
-        f = xs.astype(dtype)
+        f = xs.astype(dtype)  # [T, nl, C]
         scales = []
         for i, ch in enumerate(cfg.proxyconv_channels):
-            # Neighbour mean across shards: gather the k global rows from the
-            # all-gathered [N, C] feature table. fp32 accumulation of the
-            # k-sum mirrors the dense path's fp32-accumulated A@F matmul.
-            # Differentiable: all_gather transposes to psum_scatter, the
-            # gather to a scatter-add — XLA collectives only.
-            full = jax.lax.all_gather(f, self.axis, tiled=True)  # [N, C]
-            nbr = jnp.take(full, idx, axis=0).astype(jnp.float32)  # [nl, k, C]
-            proxy = (jnp.sum(nbr, axis=1) * (1.0 / k)).astype(dtype)
+            # Neighbour mean across shards: gather each cloud's k global
+            # rows from its all-gathered [N, C] feature table (shard-major
+            # row order matches the ring kNN's src*nl+pos global ids). fp32
+            # accumulation of the k-sum mirrors the dense path's
+            # fp32-accumulated A@F matmul. Differentiable: all_gather
+            # transposes to psum_scatter, the gather to a scatter-add.
+            fullg = jax.lax.all_gather(f, self.axis)  # [ndev, T, nl, C]
+            full = jnp.moveaxis(fullg, 0, 1).reshape(t, self.ndev * nl, -1)
+            nbr = jax.vmap(lambda tbl, ids: jnp.take(tbl, ids, axis=0))(
+                full, idx
+            ).astype(jnp.float32)  # [T, nl, k, C]
+            proxy = (jnp.sum(nbr, axis=2) * (1.0 / k)).astype(dtype)
             f = ProxyConv(
                 ch, knn_k=k, dtype=dtype, bn_axis=self.axis,
                 name=f"proxyconv_{i}",
@@ -98,15 +114,15 @@ class _ShardEPCNet(nn.Module):
         f_cat = jnp.concatenate(scales, axis=-1)
         f_lift = SharedMLP(
             cfg.lift_channels, dtype=dtype, bn_axis=self.axis, name="lift"
-        )(f_cat, train, momentum)  # [nl, feature_dim]
+        )(f_cat, train, momentum)  # [T, nl, feature_dim]
 
-        # VLAD head with psum-completed sums; batch dim of 1 for the head's
-        # [B, N, D] contract. Output is replicated (identical on all shards).
+        # VLAD head with psum-completed sums ([B, N, D] contract, B=T).
+        # Output is replicated (identical on all shards).
         desc = GVLADHead(cfg, name="gvlad", psum_axis=self.axis)(
-            f_lift[None], train, momentum,
-            mask=None if mask is None else mask[None],
-        )  # [1, output_dim]
-        return desc[0]
+            f_lift, train, momentum,
+            mask=None if mask is None else jnp.broadcast_to(mask[None], (t, nl)),
+        )  # [T, output_dim]
+        return desc[0] if single else desc
 
 
 def embed_points_sharded(
@@ -246,5 +262,119 @@ def build_points_sharded_distill_fn(
             jnp.asarray(teacher_desc, jnp.float32), rep
         )
         return fn(params, batch_stats, xp, teacher_desc, momentum)
+
+    return step
+
+
+def build_points_sharded_train_step(
+    cfg: ModelConfig,
+    train_cfg,
+    mesh: Mesh,
+    axis: str = "db",
+):
+    """Full metric-learning train step on ONE giant-submap tuple — the
+    reference's primary objective (quadruplet family, train/step.py
+    build_train_step) at sizes no single device can hold.
+
+    Returns ``step(state, batch) -> (state, metrics)`` with the dense
+    step's exact contract, except the batch is a single tuple of [.., N, 3]
+    clouds (no leading B axis): ``query`` [N, 3], ``positives`` [P, N, 3],
+    ``negatives`` [Ng, N, 3], and ``other_neg`` [N, 3] for quadruplet
+    losses. All clouds are stacked and run through the shard body together,
+    so BN statistics span the whole tuple exactly like the dense step's
+    [B*T, N, 3] flatten; gradients are pmean-completed per-shard autodiff
+    (see build_points_sharded_distill_fn) and applied through
+    ``state.apply_gradients`` inside one jitted program. N must be
+    divisible by the mesh axis size.
+    """
+    from epcnet_tpu import losses as losses_lib
+    from epcnet_tpu.train.state import bn_momentum_schedule, lr_schedule
+
+    ndev = mesh.shape[axis]
+    model = _ShardEPCNet(cfg, axis, ndev)
+    loss_fn = losses_lib.get_loss(train_cfg.loss)
+    quad = "quadruplet" in train_cfg.loss
+    bn_mom = bn_momentum_schedule(train_cfg)
+    lr = lr_schedule(train_cfg)
+
+    @functools.lru_cache(maxsize=8)
+    def compiled(p_cnt: int, ng_cnt: int):
+        def local(params, batch_stats, clouds, step):
+            # clouds: [T, nl, 3] this shard's slice of every tuple cloud
+            def compute(p):
+                desc, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    clouds, None, True, bn_mom(step), mutable=["batch_stats"],
+                )
+                qd = desc[0][None]
+                pd = desc[1 : 1 + p_cnt][None]
+                nd = desc[1 + p_cnt : 1 + p_cnt + ng_cnt][None]
+                if quad:
+                    loss = loss_fn(
+                        qd, pd, nd, desc[-1][None],
+                        train_cfg.margin_1, train_cfg.margin_2,
+                    )
+                else:
+                    loss = loss_fn(qd, pd, nd, train_cfg.margin_1)
+                aux = {
+                    "best_pos_dist": jnp.mean(
+                        losses_lib.best_pos_distance(qd, pd)
+                    ),
+                    "min_neg_dist": jnp.mean(
+                        jnp.min(jnp.sum((nd - qd[:, None]) ** 2, -1), axis=-1)
+                    ),
+                }
+                return loss, (mut["batch_stats"], aux)
+
+            (loss, (new_bs, aux)), g = jax.value_and_grad(
+                compute, has_aux=True)(params)
+            g = jax.lax.pmean(g, axis)  # see build_points_sharded_distill_fn
+            return loss, g, new_bs, aux
+
+        smapped = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axis), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step_fn(state, clouds):
+            loss, g, new_bs, aux = smapped(
+                state.params, state.batch_stats, clouds, state.step
+            )
+            state = state.apply_gradients(g).replace(batch_stats=new_bs)
+            metrics = {
+                "loss": loss,
+                "learning_rate": lr(state.step),
+                "bn_momentum": bn_mom(state.step),
+                **aux,
+            }
+            return state, metrics
+
+        return step_fn
+
+    def step(state, batch):
+        q = batch["query"]
+        n = q.shape[0]
+        if n % ndev != 0:
+            raise ValueError(
+                f"points-sharded training needs N divisible by the {ndev}-way "
+                f"'{axis}' axis, got N={n} (drop {n % ndev} points)"
+            )
+        if cfg.knn_k > n // ndev:
+            raise ValueError(
+                f"knn_k={cfg.knn_k} exceeds points-per-shard {n // ndev}"
+            )
+        parts = [q[None], batch["positives"], batch["negatives"]]
+        if quad:
+            parts.append(batch["other_neg"][None])
+        clouds = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+        clouds = jax.device_put(clouds, NamedSharding(mesh, P(None, axis)))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        return compiled(
+            batch["positives"].shape[0], batch["negatives"].shape[0]
+        )(state, clouds)
 
     return step

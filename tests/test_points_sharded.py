@@ -187,3 +187,94 @@ def test_embed_fn_is_cached(rng, mesh8):
     embed_points_sharded(variables, pts, cfg, mesh8)
     embed_points_sharded(variables, pts, cfg, mesh8)
     assert _cached_embed_fn.cache_info().hits >= before + 1
+
+
+def test_tuple_train_step_matches_dense(rng, mesh8):
+    """The giant-submap metric-learning step (quadruplet tuple, BN over the
+    whole stacked tuple) reproduces the dense build_train_step update:
+    same loss, same new params, same BN running stats."""
+    from epcnet_tpu.configs import TrainConfig
+    from epcnet_tpu.models import build_points_sharded_train_step
+    from epcnet_tpu.train.state import create_train_state
+    from epcnet_tpu.train.step import build_train_step
+
+    cfg = _f32_cfg()
+    # SGD, not Adam: Adam's first step is ~lr*sign(g), so leaves whose true
+    # gradient is ~0 (e.g. Dense biases ahead of BN mean-subtraction) flip
+    # sign on 1e-8 forward noise. SGD deltas scale WITH the gradient, so
+    # per-leaf relative comparison is meaningful.
+    tcfg = TrainConfig(loss="lazy_quadruplet", optimizer="momentum")
+    n, p_cnt, ng_cnt = 128, 2, 3
+    q = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (p_cnt, n, 3)).astype(np.float32)
+    neg = rng.uniform(-1, 1, (ng_cnt, n, 3)).astype(np.float32)
+    other = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+
+    state0 = create_train_state(cfg, tcfg, num_points=n)
+    dense_step = build_train_step(cfg, tcfg)
+    dstate, dmetrics = dense_step(state0, {
+        "query": jnp.asarray(q)[None],
+        "positives": jnp.asarray(pos)[None],
+        "negatives": jnp.asarray(neg)[None],
+        "other_neg": jnp.asarray(other)[None],
+    })
+
+    sh_step = build_points_sharded_train_step(cfg, tcfg, mesh8)
+    sstate, smetrics = sh_step(state0, {
+        "query": jnp.asarray(q),
+        "positives": jnp.asarray(pos),
+        "negatives": jnp.asarray(neg),
+        "other_neg": jnp.asarray(other),
+    })
+
+    np.testing.assert_allclose(
+        float(smetrics["loss"]), float(dmetrics["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(smetrics["best_pos_dist"]), float(dmetrics["best_pos_dist"]),
+        rtol=1e-4)
+    assert int(sstate.step) == int(dstate.step) == 1
+    for a, b, z in zip(
+        jax.tree_util.tree_leaves(dstate.params),
+        jax.tree_util.tree_leaves(sstate.params),
+        jax.tree_util.tree_leaves(state0.params),
+    ):
+        da = np.asarray(a) - np.asarray(z)  # -lr * dense grad
+        db = np.asarray(b) - np.asarray(z)  # -lr * sharded grad
+        err = np.abs(da - db).max()
+        assert err <= max(2e-3 * np.abs(da).max(), 3e-8), (
+            err, np.abs(da).max())
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sstate.batch_stats),
+        jax.tree_util.tree_leaves(dstate.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_tuple_train_step_learns(rng, mesh8):
+    """Several sharded quadruplet steps reduce the loss on a separable
+    fixture (bf16 default dtype, triplet-loss path included via config)."""
+    from epcnet_tpu.configs import TrainConfig
+    from epcnet_tpu.models import build_points_sharded_train_step
+    from epcnet_tpu.train.state import create_train_state
+
+    cfg = _f32_cfg(compute_dtype="bfloat16")
+    tcfg = TrainConfig(loss="quadruplet", learning_rate=1e-3)
+    n = 128
+    base = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    batch = {
+        "query": jnp.asarray(base),
+        "positives": jnp.asarray(
+            base[None] + 0.02 * rng.standard_normal((2, n, 3)).astype(np.float32)),
+        "negatives": jnp.asarray(
+            rng.uniform(-1, 1, (3, n, 3)).astype(np.float32)),
+        "other_neg": jnp.asarray(
+            rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+    }
+    state = create_train_state(cfg, tcfg, num_points=n)
+    step = build_points_sharded_train_step(cfg, tcfg, mesh8)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
