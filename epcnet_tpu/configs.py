@@ -53,21 +53,24 @@ class ModelConfig:
     # expansion adds VPU passes; deleted per docs/KERNELS.md round 3.)
     use_pallas: bool = True  # swap in Pallas kernels (falls back off-TPU)
     # [N, N] adjacency layout for the ProxyConv neighbour means. "dense"
-    # (and "auto"): int8 indicator — fastest at production shapes on v5e
-    # (the A@F matmuls are partly compute-bound; docs/KERNELS.md). "packed":
-    # 1 bit/entry bit-planes, 8x less HBM — an eval-path opt-in for
-    # memory-capacity-bound shapes (large N / batches); training always
-    # uses dense (autodiff).
+    # (and "auto" at production N): int8 indicator — fastest at production
+    # shapes on v5e (the A@F matmuls are partly compute-bound;
+    # docs/KERNELS.md). "packed": 1 bit/entry bit-planes, 8x less HBM — an
+    # eval-path opt-in for memory-capacity-bound shapes; training always
+    # uses dense (autodiff). "gather": NO adjacency at all — [N, K] id
+    # gathers (idx-only blockwise kNN), the single-chip >32k capacity rung;
+    # differentiable, so valid for training too. "auto" walks the ladder by
+    # N: dense <= 16k < packed <= 32k < gather.
     adjacency_format: str = "auto"
     bn_momentum_final: float = 0.99  # BN "decay" upper clamp, reference-style
 
     def __post_init__(self):
         # fail fast on mode typos — "pakced" would otherwise silently take
         # the dense path (same contract as apply_overrides' unknown-key check)
-        if self.adjacency_format not in ("auto", "dense", "packed"):
+        if self.adjacency_format not in ("auto", "dense", "packed", "gather"):
             raise ValueError(
                 f"adjacency_format={self.adjacency_format!r} not in "
-                "{'auto', 'dense', 'packed'}"
+                "{'auto', 'dense', 'packed', 'gather'}"
             )
         if self.vlad_precision not in ("highest", "default"):
             raise ValueError(

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from epcnet_tpu.configs import ModelConfig
 from epcnet_tpu.models.layers import ProxyConv, SharedMLP
 from epcnet_tpu.models.vlad_head import GVLADHead
-from epcnet_tpu.ops.adjacency import packed_neighbor_mean
-from epcnet_tpu.ops.knn import knn_adjacency
+from epcnet_tpu.ops.adjacency import gather_neighbor_mean, packed_neighbor_mean
+from epcnet_tpu.ops.knn import knn_adjacency, knn_jnp, knn_pallas
 
 # adjacency_format="auto" switches the EVAL path to bit-packed adjacency
 # above this N. Measured on v5e-1 (docs/KERNELS.md capacity table): at
@@ -31,6 +31,10 @@ from epcnet_tpu.ops.knn import knn_adjacency
 # submaps/s), at N=32768 the dense [N, N] program fails to compile while
 # packed runs (37.5 submaps/s) — so the crossover sits exactly past 16k.
 _PACKED_AUTO_N = 16384
+# ... and above THIS N "auto" drops the adjacency entirely: idx-only
+# blockwise kNN + [N, K] gather means (gather_neighbor_mean) — the
+# single-chip >32k capacity rung (docs/KERNELS.md).
+_GATHER_AUTO_N = 32768
 
 
 class EPCNet(nn.Module):
@@ -61,19 +65,35 @@ class EPCNet(nn.Module):
         # unpack costs more than the saved bytes (docs/KERNELS.md). Eval
         # path only: the packed consumer has no autodiff rule; training
         # keeps dense int8, whose matmul gradient XLA derives.
-        packed = not train and (
+        gather = cfg.adjacency_format == "gather" or (
+            cfg.adjacency_format == "auto" and n > _GATHER_AUTO_N
+        )
+        packed = not gather and not train and (
             cfg.adjacency_format == "packed"
             or (cfg.adjacency_format == "auto" and n > _PACKED_AUTO_N)
         )
-        fmt = "packed" if packed else "dense"
-        _, adj, proxy0 = knn_adjacency(
-            x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False,
-            with_proxy=True, fmt=fmt,
-        )
+        if gather:
+            # No adjacency in any layout: idx-only blockwise kNN, then each
+            # layer's proxy is a [N, K, C] gather + fp32-accumulated mean
+            # (ops/adjacency.py gather_neighbor_mean). Differentiable —
+            # valid for training — and the only single-chip path past
+            # N=32k, where even bit-packed [N, N/32] planes fail.
+            idx = knn_jnp(x, cfg.knn_k) if impl == "jnp" else knn_pallas(
+                x, cfg.knn_k)
+            idx = jax.lax.stop_gradient(idx)
+            adj = None
+        else:
+            fmt = "packed" if packed else "dense"
+            _, adj, proxy0 = knn_adjacency(
+                x, cfg.knn_k, dtype=dtype, impl=impl, with_idx=False,
+                with_proxy=True, fmt=fmt,
+            )
         f = x.astype(dtype)
         scales = []
         for i, ch in enumerate(cfg.proxyconv_channels):
-            if i == 0:
+            if gather:
+                proxy = gather_neighbor_mean(f, idx)
+            elif i == 0:
                 proxy = proxy0
             elif packed:
                 proxy = packed_neighbor_mean(f, adj, cfg.knn_k)

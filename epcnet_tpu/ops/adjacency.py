@@ -243,3 +243,21 @@ def neighbor_mean(
     # [..., 1, N, C] gathered along the point axis by [..., N, K, 1] -> [..., N, K, C]
     nbr = jnp.take_along_axis(features[..., None, :, :], idx[..., None], axis=-2)
     return jnp.mean(nbr, axis=-2)
+
+
+def gather_neighbor_mean(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Neighbour mean straight from the [..., N, K] kNN id lists — no
+    adjacency in ANY layout ever exists.
+
+    The single-chip >32k-point capacity rung (adjacency_format="gather",
+    models/epcnet.py): at N where even the bit-packed [N, N/32] planes are
+    too big to build or consume, the per-layer cost drops to one
+    [..., N, K, C] gather + fp32-accumulated mean (same arithmetic as the
+    points-sharded shard body, models/points_sharded.py). Differentiable
+    (gather transposes to scatter-add), so this path trains too.
+    """
+    nbr = jnp.take_along_axis(features[..., None, :, :], idx[..., None], axis=-2)
+    k = idx.shape[-1]
+    return (
+        jnp.sum(nbr.astype(jnp.float32), axis=-2) * (1.0 / k)
+    ).astype(features.dtype)

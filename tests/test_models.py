@@ -202,3 +202,60 @@ def test_vlad_precision_default_fidelity(rng, tiny_model_cfg):
         np.fill_diagonal(s, -np.inf)
         return s.argmax(-1)
     np.testing.assert_array_equal(nn(d_hi), nn(d_lo))
+
+
+def test_epcnet_gather_adjacency_matches_dense(rng, tiny_model_cfg):
+    """adjacency_format='gather' (no adjacency at all — [N, K] id gathers,
+    the single-chip >32k capacity rung) reproduces the dense descriptors,
+    and its TRAIN path gradients match dense too (gather is differentiable,
+    unlike packed)."""
+    cfg_d = tiny_model_cfg.variant(adjacency_format="dense",
+                                   compute_dtype="float32")
+    cfg_g = tiny_model_cfg.variant(adjacency_format="gather",
+                                   compute_dtype="float32")
+    x = jnp.asarray(rng.randn(2, cfg_d.num_points, 3).astype(np.float32))
+    m_d, m_g = get_model(cfg_d), get_model(cfg_g)
+    v = m_d.init(jax.random.PRNGKey(0), x, train=False)
+    out_d = m_d.apply(v, x, train=False)
+    out_g = m_g.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g), atol=2e-5)
+
+    def loss(model, params):
+        d, _ = model.apply({"params": params, "batch_stats": v["batch_stats"]},
+                           x, train=True, momentum=0.9, mutable=["batch_stats"])
+        return jnp.sum(d[0] * d[1])  # scalar touching every path
+
+    g_d = jax.grad(lambda p: loss(m_d, p))(v["params"])
+    g_g = jax.grad(lambda p: loss(m_g, p))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_g)):
+        da, db = np.asarray(a), np.asarray(b)
+        assert np.abs(da - db).max() <= max(2e-3 * np.abs(da).max(), 1e-6)
+
+
+def test_adjacency_auto_selects_gather_above_threshold(rng, tiny_model_cfg,
+                                                       monkeypatch):
+    """Above the gather crossover, 'auto' must drop the adjacency entirely
+    (idx-only kNN + gather means) and still produce the same descriptors."""
+    import epcnet_tpu.models.epcnet as epcnet_mod
+
+    cfg = tiny_model_cfg.variant(adjacency_format="auto",
+                                 compute_dtype="float32")
+    x = jnp.asarray(rng.randn(2, cfg.num_points, 3).astype(np.float32))
+    model = get_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    out_dense = model.apply(v, x, train=False)
+
+    calls = []
+    real = epcnet_mod.knn_jnp
+
+    def spy(*a, **kw):
+        calls.append("jnp")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(epcnet_mod, "knn_jnp", spy)
+    monkeypatch.setattr(epcnet_mod, "_GATHER_AUTO_N", cfg.num_points - 1)
+    out_auto = model.apply(v, x, train=False)
+    assert calls  # the idx-only path actually ran
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_auto), atol=2e-5)
