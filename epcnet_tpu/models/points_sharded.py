@@ -2,12 +2,15 @@
 its POINT axis sharded over a mesh axis (SURVEY.md §5.7 — the ">100k-point
 submap" capacity promise, sequence-parallel style).
 
-This is the third rung of the capacity ladder (docs/KERNELS.md):
+This is the top rung of the capacity ladder (docs/KERNELS.md):
   1. dense int8 adjacency         — fastest, O(N^2) HBM, up to N=16k on v5e;
   2. adjacency_format="packed"    — 1 bit/entry, measured to N=32k;
-  3. points-sharded embed (here)  — O(N^2/ndev) distance blocks per device,
-     the [N, N] adjacency NEVER exists: neighbour means run as gathers over
-     the global kNN id lists instead of an A@F matmul.
+  3. adjacency_format="gather"    — no adjacency at all, single-chip >32k
+     (models/epcnet.py, ops/adjacency.py gather_neighbor_mean);
+  4. points-sharded embed (here)  — the POINT AXIS itself shards over the
+     mesh: O(N^2/ndev) distance blocks per device, neighbour means as
+     gathers over global kNN id lists — for submaps past one chip's HBM
+     or when embed latency must scale down with device count.
 
 How each stage crosses the shard boundary:
   - kNN graph: ``ring_knn_local`` (ops/retrieval.py) — candidate blocks

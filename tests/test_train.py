@@ -264,3 +264,18 @@ def test_mining_batched_selection_matches_per_query_oracle(
         assert len(got) == k
         np.testing.assert_allclose(got_d, want, rtol=1e-5, atol=1e-6)
         assert all(g in set(pool) for g in got)
+
+
+def test_trainer_with_gather_adjacency(synthetic_root, tiny_model_cfg):
+    """End-to-end Trainer run with adjacency_format='gather' (the no-adjacency
+    capacity rung is differentiable, so the FULL train loop must work on it,
+    not just eval) — finite losses and a saved config round-trip."""
+    import json
+
+    gcfg = tiny_model_cfg.variant(adjacency_format="gather")
+    cfg = _exp_cfg(synthetic_root, gcfg, max_epoch=1)
+    tr = Trainer(cfg, construct_query_dict(
+        scan_runs(synthetic_root), exclude_test_regions=False), checkpoints=False)
+    tr.train()
+    recs = [json.loads(l) for l in open(cfg.log_dir + "/train.jsonl")]
+    assert recs and all(np.isfinite(r["loss"]) for r in recs)
