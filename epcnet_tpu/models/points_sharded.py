@@ -204,7 +204,7 @@ def build_points_sharded_distill_fn(
 
     Returns jitted ``fn(params, batch_stats, points [N, 3], teacher_desc
     [output_dim], momentum) -> (loss, grads, new_batch_stats)`` with
-    ``grads`` matching the params tree (psum-completed, replicated) and
+    ``grads`` matching the params tree (pmean-completed, replicated) and
     ``new_batch_stats`` the BN running stats after this step. N must be
     divisible by the mesh axis size (see module docstring). Plug ``grads``
     into any optax optimizer.
