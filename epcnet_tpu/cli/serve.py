@@ -148,6 +148,10 @@ def main(argv=None):
                     help="devices on the retrieval 'db' axis (0 = all "
                     "devices of one slice — serving has no data-parallel "
                     "training axis, and the db axis must stay intra-slice)")
+    ap.add_argument("--quantize", default="none", choices=("none", "int8"),
+                    help="device DB format: int8 stores descriptors "
+                    "quantized per-row (4x less HBM per row, ~4e-4 max "
+                    "dequantization error; host DB/save stay fp32)")
     args = ap.parse_args(argv)
 
     from epcnet_tpu.parallel import maybe_initialize_distributed
@@ -167,7 +171,8 @@ def main(argv=None):
         db_axis = args.db_axis or retrieval_db_axis()
         mesh = make_multislice_mesh(MeshConfig(data_axis=-1, db_axis=db_axis))
     index = PlaceIndex.from_checkpoint(
-        args.log_dir, mesh=mesh, embed_batch=args.embed_batch
+        args.log_dir, mesh=mesh, embed_batch=args.embed_batch,
+        quantize=args.quantize,
     )
     if args.db:
         index.load_db(args.db)

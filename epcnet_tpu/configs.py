@@ -161,6 +161,20 @@ class TrainConfig:
     # cadences fire on boundary CROSSINGS, so they are honored at dispatch
     # granularity.
     steps_per_dispatch: int = 1
+    # Memory-capacity levers (TPU-idiomatic; the reference has neither):
+    # remat: wrap the model forward in jax.checkpoint so the backward pass
+    # recomputes activations instead of keeping them in HBM — EXACT same
+    # numbers (tested), ~the activation footprint of one forward in exchange
+    # for one extra forward of FLOPs. Buys larger batch_num_queries per chip.
+    remat: bool = False
+    # grad_accum_steps: split the tuple batch into A sequential micro-batches
+    # inside ONE jitted step (lax.scan), averaging gradients before a single
+    # optimizer update — peak activation memory drops ~A-fold. Mean-loss
+    # gradients match the full batch exactly EXCEPT through BatchNorm, which
+    # normalizes per micro-batch (standard accumulation semantics; BN EMA
+    # stats chain A updates per optimizer step). batch_num_queries must be
+    # divisible by this.
+    grad_accum_steps: int = 1
     # Checkpoint / metrics:
     checkpoint_every_steps: int = 1000
     keep_checkpoints: int = 3
@@ -169,6 +183,17 @@ class TrainConfig:
     # the reference's tf.summary analogue (SURVEY.md §5.5). JSONL always on.
     tensorboard: bool = False
     seed: int = 1234
+
+    def __post_init__(self):
+        if self.grad_accum_steps < 1:
+            raise ValueError(
+                f"grad_accum_steps={self.grad_accum_steps} must be >= 1"
+            )
+        if self.batch_num_queries % self.grad_accum_steps:
+            raise ValueError(
+                f"batch_num_queries={self.batch_num_queries} is not divisible "
+                f"by grad_accum_steps={self.grad_accum_steps}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,12 +44,49 @@ def topk_neighbors(queries: jnp.ndarray, database: jnp.ndarray, k: int):
     return idx.astype(jnp.int32), -neg
 
 
+# ---------------------------------------------------------------------------
+# int8 database quantization (serving capacity: 4x less HBM per DB row)
+# ---------------------------------------------------------------------------
+
+
+def quantize_descriptors(desc: jnp.ndarray):
+    """Symmetric per-row int8 quantization: [N, D] fp32 -> (int8 [N, D],
+    scale fp32 [N, 1]) with ``dequant = int8 * scale``. Max per-element
+    error is scale/2 ~ ||row||_inf / 254; for L2-normalized 256-D
+    descriptors that is ~4e-4 — far below typical inter-place descriptor
+    margins, so retrieval ids are unchanged except at near-exact ties
+    (tested). The persistent device DB shrinks 4x (the reason to use it:
+    pod-scale serving DBs are HBM-capacity-bound, SURVEY.md §5.7)."""
+    scale = jnp.max(jnp.abs(desc), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, jnp.float32(1e-12))
+    q = jnp.clip(jnp.round(desc / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_descriptors(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`quantize_descriptors` (fp32). Under jit the
+    convert+multiply fuses into the consumer's distance matmul read, so the
+    fp32 view is transient compute scratch — the resident buffer stays int8."""
+    return q.astype(jnp.float32) * scale
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_neighbors_quantized(
+    queries: jnp.ndarray, db_q: jnp.ndarray, db_scale: jnp.ndarray, k: int
+):
+    """k-NN against an int8-quantized database: dequantize in-jit, then the
+    same exact MXU top-k. Distances are in dequantized space (approximate by
+    the quantization error bound above)."""
+    return topk_neighbors(queries, dequantize_descriptors(db_q, db_scale), k)
+
+
 def sharded_topk_neighbors(
     queries: jnp.ndarray,
     database: jnp.ndarray,
     k: int,
     mesh: Mesh,
     axis: str = "db",
+    db_scale: jnp.ndarray | None = None,
 ):
     """ICI-sharded exact retrieval (SURVEY.md §2.3 "TP for retrieval").
 
@@ -57,19 +94,33 @@ def sharded_topk_neighbors(
     device computes its local [Q, k] candidates; candidates (k·ndev per query
     — tiny) are all-gathered over ICI and re-reduced to the global top-k.
     Local shard indices are rebased to global rows before the merge.
+
+    ``db_scale`` given means ``database`` is int8-quantized
+    (:func:`quantize_descriptors`): each shard dequantizes its OWN rows
+    in-jit, so only 1/4 of the descriptor bytes are resident per device —
+    the capacity story for pod-scale serving DBs.
     """
     ndev = mesh.shape[axis]
     n = database.shape[0]
+    quantized = db_scale is not None
     # Pad so every shard holds >= k rows (a tiny DB over many devices would
     # otherwise ask each shard for more candidates than it has rows). Pad
     # rows live far away -> never in the final top-k (requires n >= k).
+    # int8 path: pad value 127 with a 1e6 scale dequantizes to a far row.
     shard = max(-(-n // ndev), k) * ndev
-    db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=1e6)
+    if quantized:
+        db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=127)
+        scale = jnp.pad(db_scale, ((0, shard - n), (0, 0)), constant_values=1e6)
+    else:
+        db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=1e6)
 
-    def local(q, db_shard):
+    def local(q, db_shard, *scale_shard):
         my = jax.lax.axis_index(axis)
+        rows = db_shard.shape[0]
+        if quantized:
+            db_shard = dequantize_descriptors(db_shard, scale_shard[0])
         idx, dist = topk_neighbors(q, db_shard, k)
-        gidx = idx + my * db_shard.shape[0]
+        gidx = idx + my * rows
         # all-gather the candidate lists: [ndev, Q, k]
         all_idx = jax.lax.all_gather(gidx, axis)
         all_dist = jax.lax.all_gather(dist, axis)
@@ -80,15 +131,19 @@ def sharded_topk_neighbors(
         merged_idx = jnp.take_along_axis(cat_idx, pos, axis=-1)
         return merged_idx, -neg
 
+    in_specs = (P(), P(axis)) + ((P(axis),) if quantized else ())
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
     q = jax.device_put(queries, NamedSharding(mesh, P()))
     db = jax.device_put(db, NamedSharding(mesh, P(axis)))
+    if quantized:
+        scale = jax.device_put(scale, NamedSharding(mesh, P(axis)))
+        return fn(q, db, scale)
     return fn(q, db)
 
 

@@ -18,7 +18,10 @@ TPU mapping: embedding runs the jitted model at a fixed batch shape (one
 compiled program, padded tail); retrieval is the exact MXU top-k
 (ops/retrieval.py), switching to the ICI-sharded path automatically when a
 mesh with a "db" axis is supplied (BASELINE config #5). The DB grows in
-fixed-size device-resident blocks so adds never recompile.
+fixed-size device-resident blocks so adds never recompile. ``quantize=
+"int8"`` stores the device DB int8 + per-row scale (4x the rows per chip of
+HBM; dequantization happens in-jit per shard, host DB and save/load stay
+fp32-lossless) — the capacity knob for pod-scale databases.
 
 Concurrency: PlaceIndex is thread-safe for interleaved add/query — a lock
 guards the host bookkeeping while the heavy device work runs on immutable
@@ -44,7 +47,12 @@ import jax
 import jax.numpy as jnp
 
 from epcnet_tpu.configs import ExperimentConfig
-from epcnet_tpu.ops.retrieval import sharded_topk_neighbors, topk_neighbors
+from epcnet_tpu.ops.retrieval import (
+    quantize_descriptors,
+    sharded_topk_neighbors,
+    topk_neighbors,
+    topk_neighbors_quantized,
+)
 from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.train.state import create_train_state
 from epcnet_tpu.train.step import build_embed_fn
@@ -60,7 +68,10 @@ class PlaceIndex:
         embed_batch: int = 32,
         block_rows: int = 4096,
         mesh=None,
+        quantize: str = "none",
     ):
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"quantize={quantize!r} not in {{'none', 'int8'}}")
         self._embed = embed_fn
         self._params = params
         self._stats = batch_stats
@@ -68,6 +79,12 @@ class PlaceIndex:
         self.embed_batch = embed_batch
         self.block_rows = block_rows
         self.mesh = mesh
+        # quantize="int8": the device DB is stored int8 + per-row fp32 scale
+        # (ops/retrieval.py quantize_descriptors) — 4x less HBM per row, ~4e-4
+        # max dequantization error on unit-norm descriptors. The host _db
+        # stays the fp32 master (save/load are lossless); quantization is a
+        # device-residency format only.
+        self.quantize = quantize
         self._db = np.zeros((0, descriptor_dim), np.float32)
         self._meta: list = []
         # Device DB: an append-only capacity-doubling buffer. Adds transfer
@@ -78,7 +95,8 @@ class PlaceIndex:
         # DBs this layer targets (VERDICT r2 weak #3). No donation: query
         # threads compute on immutable snapshots OUTSIDE the lock, so the
         # append must be functional (the copy it pays runs at HBM bandwidth).
-        self._dev_db = None  # [capacity, dim] device buffer, 1e6-padded tail
+        self._dev_db = None  # [capacity, dim] device buffer, far-padded tail
+        self._dev_scale = None  # [capacity, 1] fp32 row scales (int8 mode)
         self._dev_rows = 0  # rows of _db already resident on device
         self._use_sharded = (
             mesh is not None and "db" in mesh.shape and mesh.shape["db"] > 1
@@ -94,11 +112,30 @@ class PlaceIndex:
             ),
             out_shardings=self._db_sharding,
         )
+        # int8 mode: new fp32 rows quantize ON DEVICE inside the append jit
+        # (one source of truth — ops/retrieval.py), updating both buffers.
+        pair_sh = (
+            None
+            if self._db_sharding is None
+            else (self._db_sharding, self._db_sharding)
+        )
+
+        def _append_quantized(db, sc, upd, start):
+            qi, qs = quantize_descriptors(upd)
+            return (
+                jax.lax.dynamic_update_slice(db, qi, (start, jnp.int32(0))),
+                jax.lax.dynamic_update_slice(sc, qs, (start, jnp.int32(0))),
+            )
+
+        self._append_fn_q = jax.jit(_append_quantized, out_shardings=pair_sh)
         self._lock = threading.RLock()  # guards _db/_meta/_dev_db bookkeeping
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_checkpoint(cls, log_dir: str, mesh=None, embed_batch: int = 32):
+    def from_checkpoint(
+        cls, log_dir: str, mesh=None, embed_batch: int = 32,
+        quantize: str = "none",
+    ):
         cfg_path = os.path.join(log_dir, "config.json")
         cfg = (
             ExperimentConfig.from_json(open(cfg_path).read())
@@ -115,6 +152,7 @@ class PlaceIndex:
             cfg.model.output_dim,
             embed_batch,
             mesh=mesh,
+            quantize=quantize,
         )
 
     # ------------------------------------------------------------------
@@ -170,6 +208,7 @@ class PlaceIndex:
             k = min(k, len(self._db))
             self._sync_dev_db()
             dbj = self._dev_db
+            scj = self._dev_scale
         # Pad the query batch up to an embed_batch multiple: QueryScheduler
         # micro-batches are variable-sized (1..max_batch), and an unpadded
         # retrieval would compile one program per distinct size — measured as
@@ -183,7 +222,12 @@ class PlaceIndex:
             q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
         q = jnp.asarray(q)
         if self._use_sharded:
-            idx, dist = sharded_topk_neighbors(q, dbj, k, self.mesh)
+            idx, dist = sharded_topk_neighbors(
+                q, dbj, k, self.mesh,
+                db_scale=scj if self.quantize == "int8" else None,
+            )
+        elif self.quantize == "int8":
+            idx, dist = topk_neighbors_quantized(q, dbj, scj, k)
         else:
             idx, dist = topk_neighbors(q, dbj, k)
         return np.asarray(idx)[:n], np.asarray(dist)[:n]
@@ -204,23 +248,45 @@ class PlaceIndex:
         need = rows - start
         upd = np.full((need, self.dim), 1e6, np.float32)
         upd[: n - start] = self._db[start:]
+        quant = self.quantize == "int8"
         if rows > cap:
             # capacity growth: geometric, device-side; the old buffer's rows
             # copy at HBM bandwidth, never back over the host link
             new_cap = max(self.block_rows, cap)
             while new_cap < rows:
                 new_cap *= 2
-            # filler is created ON DEVICE (jnp.full lowers to an XLA fill)
-            fresh = jnp.full((max(new_cap - cap, 0), self.dim), 1e6, jnp.float32)
-            grown = fresh if self._dev_db is None else jnp.concatenate(
-                [self._dev_db, fresh]
+            # filler is created ON DEVICE (jnp.full lowers to an XLA fill);
+            # int8 filler 127 with a 1e6 scale dequantizes to a far row
+            grow = max(new_cap - cap, 0)
+            if quant:
+                fresh = jnp.full((grow, self.dim), 127, jnp.int8)
+                fresh_sc = jnp.full((grow, 1), 1e6, jnp.float32)
+                grown = fresh if self._dev_db is None else jnp.concatenate(
+                    [self._dev_db, fresh]
+                )
+                grown_sc = fresh_sc if self._dev_scale is None else jnp.concatenate(
+                    [self._dev_scale, fresh_sc]
+                )
+                if self._db_sharding is not None:
+                    grown = jax.device_put(grown, self._db_sharding)
+                    grown_sc = jax.device_put(grown_sc, self._db_sharding)
+                self._dev_db, self._dev_scale = grown, grown_sc
+            else:
+                fresh = jnp.full((grow, self.dim), 1e6, jnp.float32)
+                grown = fresh if self._dev_db is None else jnp.concatenate(
+                    [self._dev_db, fresh]
+                )
+                if self._db_sharding is not None:
+                    grown = jax.device_put(grown, self._db_sharding)
+                self._dev_db = grown
+        if quant:
+            self._dev_db, self._dev_scale = self._append_fn_q(
+                self._dev_db, self._dev_scale, jnp.asarray(upd), jnp.int32(start)
             )
-            if self._db_sharding is not None:
-                grown = jax.device_put(grown, self._db_sharding)
-            self._dev_db = grown
-        self._dev_db = self._append_fn(
-            self._dev_db, jnp.asarray(upd), jnp.int32(start)
-        )
+        else:
+            self._dev_db = self._append_fn(
+                self._dev_db, jnp.asarray(upd), jnp.int32(start)
+            )
         self._dev_rows = n
 
     def metadata(self, ids) -> list:
@@ -241,6 +307,7 @@ class PlaceIndex:
             self._db = data["db"]
             self._meta = list(data["meta"])
             self._dev_db = None  # full reload: next query re-syncs from row 0
+            self._dev_scale = None
             self._dev_rows = 0
 
 

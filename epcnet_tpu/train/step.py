@@ -25,17 +25,76 @@ from epcnet_tpu.models import get_model
 from epcnet_tpu.train.state import TrainState, bn_momentum_schedule, lr_schedule
 
 
+def _maybe_remat(apply_fn, train_cfg: TrainConfig):
+    """jax.checkpoint the model forward when TrainConfig.remat is set: the
+    backward pass then recomputes activations instead of holding them in HBM
+    (EXACT same values — rematerialization does not change math). The
+    TPU-idiomatic memory-for-FLOPs trade; buys larger tuple batches per chip."""
+    return jax.checkpoint(apply_fn) if train_cfg.remat else apply_fn
+
+
+def _accum_value_and_grad(grad_fn, params, batch_stats, batch, accum: int):
+    """Gradient accumulation over ``accum`` sequential micro-batches inside
+    one jitted step (TrainConfig.grad_accum_steps): the tuple axis B is split
+    into [accum, B/accum] and scanned, so peak activation memory is that of
+    ONE micro-batch. Gradients of the mean loss are averaged across micros
+    (exactly the full-batch gradient except through BatchNorm, which
+    normalizes per micro-batch — standard accumulation semantics); BN EMA
+    stats chain ``accum`` updates per optimizer step.
+
+    ``grad_fn(params, batch_stats, micro_batch) -> ((loss, (new_bs, aux)),
+    grads)``. Returns (loss, new_batch_stats, aux, grads) with loss/aux
+    averaged over micros.
+    """
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if b % accum:
+        raise ValueError(
+            f"batch size {b} is not divisible by grad_accum_steps={accum}"
+        )
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((accum, b // accum) + x.shape[1:]), batch
+    )
+
+    def body(carry, mb):
+        bs, gacc = carry
+        (loss, (new_bs, aux)), grads = grad_fn(params, bs, mb)
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+        return (new_bs, gacc), (loss, aux)
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (new_bs, gsum), (losses, auxs) = jax.lax.scan(
+        body, (batch_stats, zeros), micro
+    )
+    grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+    aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+    return jnp.mean(losses), new_bs, aux, grads
+
+
 def build_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
     """Returns jitted ``step(state, batch) -> (state, metrics)``.
 
     batch: query [B,N,3], positives [B,P,N,3], negatives [B,Ng,N,3],
     other_neg [B,N,3] (other_neg required for quadruplet losses).
+    Honors TrainConfig.remat (exact activation rematerialization) and
+    TrainConfig.grad_accum_steps (micro-batch gradient accumulation).
     """
     model = get_model(model_cfg)
     loss_fn = losses_lib.get_loss(train_cfg.loss)
     quad = "quadruplet" in train_cfg.loss
     bn_mom = bn_momentum_schedule(train_cfg)
     lr = lr_schedule(train_cfg)
+    accum = train_cfg.grad_accum_steps
+
+    apply_fn = _maybe_remat(
+        lambda params, batch_stats, flat, mom: model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat,
+            train=True,
+            momentum=mom,
+            mutable=["batch_stats"],
+        ),
+        train_cfg,
+    )
 
     def compute_loss(params, batch_stats, batch, step):
         q, pos, neg = batch["query"], batch["positives"], batch["negatives"]
@@ -47,13 +106,7 @@ def build_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable
         clouds = jnp.concatenate(parts, axis=1)  # [B, T, N, 3]
         t = clouds.shape[1]
         flat = clouds.reshape(b * t, n, 3)
-        desc, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            flat,
-            train=True,
-            momentum=bn_mom(step),
-            mutable=["batch_stats"],
-        )
+        desc, mut = apply_fn(params, batch_stats, flat, bn_mom(step))
         desc = desc.reshape(b, t, -1)
         qd = desc[:, 0]
         pd = desc[:, 1 : 1 + p]
@@ -73,9 +126,20 @@ def build_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable
 
     @jax.jit
     def step(state: TrainState, batch):
-        (loss, (new_bs, aux)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params, state.batch_stats, batch, state.step)
+        if accum == 1:
+            (loss, (new_bs, aux)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params, state.batch_stats, batch, state.step)
+        else:
+            loss, new_bs, aux, grads = _accum_value_and_grad(
+                lambda p, bs, mb: jax.value_and_grad(compute_loss, has_aux=True)(
+                    p, bs, mb, state.step
+                ),
+                state.params,
+                state.batch_stats,
+                batch,
+                accum,
+            )
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = {
             "loss": loss,
@@ -137,6 +201,20 @@ def build_distill_step(
     loss_fn = losses_lib.get_loss(train_cfg.loss)
     quad = "quadruplet" in train_cfg.loss
     bn_mom = bn_momentum_schedule(train_cfg)
+    accum = train_cfg.grad_accum_steps
+
+    # remat wraps the STUDENT forward only: the teacher runs under
+    # stop_gradient, so XLA keeps no activations for it either way.
+    apply_fn = _maybe_remat(
+        lambda params, batch_stats, flat, mom: student.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat,
+            train=True,
+            momentum=mom,
+            mutable=["batch_stats"],
+        ),
+        train_cfg,
+    )
 
     def compute_loss(params, batch_stats, teacher_vars, batch, step):
         q, pos, neg = batch["query"], batch["positives"], batch["negatives"]
@@ -148,13 +226,7 @@ def build_distill_step(
         clouds = jnp.concatenate(parts, axis=1)
         t = clouds.shape[1]
         flat = clouds.reshape(b * t, n, 3)
-        desc, mut = student.apply(
-            {"params": params, "batch_stats": batch_stats},
-            flat,
-            train=True,
-            momentum=bn_mom(step),
-            mutable=["batch_stats"],
-        )
+        desc, mut = apply_fn(params, batch_stats, flat, bn_mom(step))
         t_desc = jax.lax.stop_gradient(teacher.apply(teacher_vars, flat, train=False))
         mimic = losses_lib.distillation_loss(desc, t_desc)
         desc = desc.reshape(b, t, -1)
@@ -168,9 +240,20 @@ def build_distill_step(
 
     @jax.jit
     def step(state: TrainState, teacher_vars, batch):
-        (loss, (new_bs, aux)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params, state.batch_stats, teacher_vars, batch, state.step)
+        if accum == 1:
+            (loss, (new_bs, aux)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params, state.batch_stats, teacher_vars, batch, state.step)
+        else:
+            loss, new_bs, aux, grads = _accum_value_and_grad(
+                lambda p, bs, mb: jax.value_and_grad(compute_loss, has_aux=True)(
+                    p, bs, teacher_vars, mb, state.step
+                ),
+                state.params,
+                state.batch_stats,
+                batch,
+                accum,
+            )
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return state, {"loss": loss, **aux}
 

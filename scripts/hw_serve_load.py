@@ -8,6 +8,11 @@ embed+retrieve dispatches (avg_batch printed — 8.0/8 on the recorded run
 means perfect batching efficiency). Latency here is wall time through the
 axon tunnel (~35 ms/dispatch floor); on directly-attached TPUs the same
 protocol measures true serving latency.
+
+``--quantize int8`` runs the same protocol against the int8 device DB
+(4x rows per chip of HBM; serve.py) — self-retrieval must stay 96/96,
+pinning that the quantization error never flips a top-1 on real
+descriptors.
 """
 import os
 import sys
@@ -23,8 +28,9 @@ from epcnet_tpu.data.tuples import load_pickle
 from epcnet_tpu.serve import PlaceIndex, QueryScheduler
 
 HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
+QUANT = "int8" if "--quantize" in sys.argv and "int8" in sys.argv else "none"
 
-idx = PlaceIndex.from_checkpoint(f"{HW}/log", embed_batch=8)
+idx = PlaceIndex.from_checkpoint(f"{HW}/log", embed_batch=8, quantize=QUANT)
 db_sets = load_pickle(f"{HW}/data/oxford_evaluation_database.pickle")
 entries = db_sets[0]
 pts = np.stack([
@@ -70,7 +76,7 @@ sched.stop()
 
 assert not fails, fails[:3]
 a = np.sort(lat)
-print(f"n={len(lat)} p50={a[len(a)//2]*1e3:.1f}ms "
+print(f"quantize={QUANT} n={len(lat)} p50={a[len(a)//2]*1e3:.1f}ms "
       f"p99={a[min(len(a)-1, int(len(a)*0.99))]*1e3:.1f}ms "
       f"qps={len(lat)/wall:.1f} avg_batch={dispatches['rows']/max(dispatches['n'],1):.2f} "
       f"dispatches={dispatches['n']}", flush=True)

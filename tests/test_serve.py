@@ -465,3 +465,73 @@ def test_query_scheduler_sustained_load(tiny_model_cfg, rng):
     # scheduler); with 8 concurrent threads the mean batch must exceed 1
     assert batching > 1.5, f"micro-batching ineffective: {batching:.2f}"
     assert dispatches["n"] < n_req
+
+
+def _unit_rows(rng, n, d=32):
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_quantize_descriptors_error_bound(rng):
+    from epcnet_tpu.ops.retrieval import dequantize_descriptors, quantize_descriptors
+
+    desc = _unit_rows(rng, 64)
+    qi, sc = quantize_descriptors(desc)
+    assert np.asarray(qi).dtype == np.int8
+    err = np.abs(np.asarray(dequantize_descriptors(qi, sc)) - desc)
+    # symmetric rounding: elementwise error <= scale/2
+    assert np.all(err <= np.asarray(sc) / 2 + 1e-7)
+
+
+def test_place_index_int8_matches_fp32(rng, tiny_model_cfg):
+    """quantize='int8' keeps retrieval ids on unit-norm descriptors (the
+    ~4e-4 dequantization error is far below inter-row distances here) while
+    the resident device buffer is int8 — 4x the DB capacity per chip."""
+    desc = _unit_rows(rng, 200)
+    idxs = {}
+    for quant in ("none", "int8"):
+        ix = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4,
+                        block_rows=64, quantize=quant)
+        ix.add_descriptors(desc[:150])
+        ids, dists = ix.query_descriptors(desc[:20], k=5)
+        # incremental append after the first sync must keep working
+        ix.add_descriptors(desc[150:])
+        ids2, _ = ix.query_descriptors(desc[180:], k=1)
+        idxs[quant] = (ids, dists, ids2, ix)
+    # top-1 (the recall@1 signal) must survive quantization exactly; deeper
+    # ranks on random gaussian rows are near-ties, so require set overlap
+    np.testing.assert_array_equal(idxs["int8"][0][:, 0], idxs["none"][0][:, 0])
+    overlap = np.mean([
+        len(set(a) & set(b)) / 5.0
+        for a, b in zip(idxs["int8"][0], idxs["none"][0])
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_array_equal(idxs["int8"][2], idxs["none"][2])
+    # self-query returns self
+    np.testing.assert_array_equal(np.asarray(idxs["int8"][2]).ravel(),
+                                  np.arange(180, 200))
+    # distances comparable only where the ids agree (rank flips at near-ties
+    # pair up DIFFERENT neighbours): check the guaranteed-equal top-1 column
+    np.testing.assert_allclose(
+        idxs["int8"][1][:, 0], idxs["none"][1][:, 0], atol=5e-3
+    )
+    assert np.asarray(idxs["int8"][3]._dev_db).dtype == np.int8
+    assert idxs["int8"][3]._dev_scale is not None
+    with pytest.raises(ValueError, match="quantize"):
+        PlaceIndex(None, None, None, quantize="int4")
+
+
+def test_place_index_int8_sharded_matches_unsharded(rng, tiny_model_cfg, mesh8):
+    """int8 + mesh: each shard dequantizes only its own rows; results match
+    the single-device int8 path exactly."""
+    desc = _unit_rows(rng, 100)
+    plain = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4,
+                       block_rows=64, quantize="int8")
+    sharded = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4,
+                         block_rows=64, quantize="int8", mesh=mesh8)
+    plain.add_descriptors(desc)
+    sharded.add_descriptors(desc)
+    ids_p, d_p = plain.query_descriptors(desc[:10], k=7)
+    ids_s, d_s = sharded.query_descriptors(desc[:10], k=7)
+    np.testing.assert_array_equal(ids_p, ids_s)
+    np.testing.assert_allclose(d_p, d_s, atol=1e-5)

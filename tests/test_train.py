@@ -279,3 +279,112 @@ def test_trainer_with_gather_adjacency(synthetic_root, tiny_model_cfg):
     tr.train()
     recs = [json.loads(l) for l in open(cfg.log_dir + "/train.jsonl")]
     assert recs and all(np.isfinite(r["loss"]) for r in recs)
+
+
+def _fixed_batch(rng, b=2):
+    return {
+        "query": jnp.asarray(rng.uniform(-1, 1, (b, 128, 3)).astype(np.float32)),
+        "positives": jnp.asarray(rng.uniform(-1, 1, (b, 2, 128, 3)).astype(np.float32)),
+        "negatives": jnp.asarray(rng.uniform(-1, 1, (b, 4, 128, 3)).astype(np.float32)),
+        "other_neg": jnp.asarray(rng.uniform(-1, 1, (b, 128, 3)).astype(np.float32)),
+    }
+
+
+def test_remat_step_matches_baseline_exactly(rng, tiny_model_cfg):
+    """TrainConfig.remat is a pure memory knob: jax.checkpoint recomputes
+    activations in the backward pass but the math is IDENTICAL, so one step
+    with and without it must agree to float tolerance."""
+    mcfg = tiny_model_cfg
+    batch = _fixed_batch(rng)
+    outs = {}
+    for remat in (False, True):
+        tcfg = TrainConfig(learning_rate=1e-3, remat=remat)
+        state = create_train_state(mcfg, tcfg, num_points=128)
+        state, m = build_train_step(mcfg, tcfg)(state, batch)
+        outs[remat] = (state, m)
+    np.testing.assert_allclose(
+        float(outs[True][1]["loss"]), float(outs[False][1]["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[True][0].params),
+        jax.tree_util.tree_leaves(outs[False][0].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_duplicated_halves_match_full_batch_loss(rng, tiny_model_cfg):
+    """With the two halves of the batch IDENTICAL, per-micro BatchNorm
+    statistics equal the full-batch statistics, so the accumulated forward
+    (loss + aux) must reproduce accum=1 up to bf16 reduction-order noise
+    (tiny_model_cfg computes in bfloat16, and a [2B,...] matmul tiles
+    differently from two [B,...] ones — observed drift ~3e-5). Parameter
+    updates are NOT compared here: gradients of bias leaves feeding
+    BatchNorm/softmax are analytically zero, so their numeric value is pure
+    cancellation noise that differs with reduction order — the accumulation
+    ARITHMETIC is pinned exactly (fp32, no model) by
+    test_accum_value_and_grad_matches_explicit_loop instead."""
+    mcfg = tiny_model_cfg
+    half = _fixed_batch(rng, b=1)
+    batch = {k: jnp.concatenate([v, v], axis=0) for k, v in half.items()}
+    outs = {}
+    for accum in (1, 2):
+        tcfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=accum)
+        state = create_train_state(mcfg, tcfg, num_points=128)
+        state, m = build_train_step(mcfg, tcfg)(state, batch)
+        outs[accum] = m
+    for key in ("loss", "best_pos_dist", "min_neg_dist"):
+        np.testing.assert_allclose(
+            float(outs[2][key]), float(outs[1][key]), rtol=3e-4
+        )
+
+
+def test_accum_value_and_grad_matches_explicit_loop():
+    """The accumulation contract — mean loss/aux, mean gradients, CHAINED
+    batch_stats — against a hand-written python micro-loop on a toy
+    grad_fn (no model, so no degenerate zero-gradient directions)."""
+    from epcnet_tpu.train.step import _accum_value_and_grad
+
+    params = {"w": jnp.arange(1.0, 4.0)}
+    batch = {"x": jnp.arange(12.0).reshape(4, 3), "y": jnp.arange(4.0)}
+
+    def grad_fn(p, bs, mb):
+        def loss(p):
+            l = jnp.mean((mb["x"] @ p["w"] - mb["y"] - bs) ** 2)
+            return l, (bs + 0.5, {"m": l * 2.0})
+
+        return jax.value_and_grad(loss, has_aux=True)(p)
+
+    loss, new_bs, aux, grads = _accum_value_and_grad(
+        grad_fn, params, jnp.float32(0.0), batch, 2
+    )
+    # explicit loop over the same micro split
+    bs = jnp.float32(0.0)
+    losses, ms, gs = [], [], []
+    for i in range(2):
+        mb = {k: v[2 * i : 2 * i + 2] for k, v in batch.items()}
+        (l, (bs, a)), g = grad_fn(params, bs, mb)
+        losses.append(float(l))
+        ms.append(float(a["m"]))
+        gs.append(np.asarray(g["w"]))
+    np.testing.assert_allclose(float(loss), np.mean(losses), rtol=1e-6)
+    np.testing.assert_allclose(float(new_bs), float(bs), rtol=1e-6)
+    np.testing.assert_allclose(float(aux["m"]), np.mean(ms), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grads["w"]), np.mean(gs, axis=0), rtol=1e-6
+    )
+
+
+def test_grad_accum_learns_and_validates(rng, tiny_model_cfg):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        TrainConfig(batch_num_queries=3, grad_accum_steps=2)
+    tcfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=2, remat=True)
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    step = build_train_step(tiny_model_cfg, tcfg)
+    batch = _fixed_batch(rng)
+    state, m0 = step(state, batch)
+    for _ in range(10):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 11  # one optimizer step per dispatch
