@@ -126,6 +126,20 @@ def scenario_retrieval(args, result: dict) -> None:
     idx, _ = ring_topk_neighbors(q, db, 6, mesh)
     result["ring_ok"] = bool(np.array_equal(np.asarray(idx), oracle))
 
+    # int8-quantized sharded retrieval over the same process boundaries:
+    # each shard dequantizes only its own rows; exact vs an oracle computed
+    # on the SAME dequantized values (so the check is deterministic).
+    from epcnet_tpu.ops.retrieval import dequantize_descriptors, quantize_descriptors
+
+    db_q, db_scale = quantize_descriptors(db)
+    deq = np.asarray(dequantize_descriptors(db_q, db_scale))
+    d_q = ((q[:, None, :] - deq[None, :, :]) ** 2).sum(-1)
+    oracle_q = np.argsort(d_q, axis=-1, kind="stable")[:, :6]
+    idx, _ = sharded_topk_neighbors(
+        q, np.asarray(db_q), 6, mesh, db_scale=np.asarray(db_scale)
+    )
+    result["sharded_int8_ok"] = bool(np.array_equal(np.asarray(idx), oracle_q))
+
     # Points-sharded embed across the SAME process boundaries: ppermute ring
     # kNN + per-layer all_gather + psum-completed VLAD over Gloo, checked
     # against the local single-device dense path (non-divisible N exercises

@@ -149,6 +149,8 @@ def test_multiprocess_sharded_and_ring_retrieval(mp_dataset):
     for r in results:
         assert r["sharded_ok"] is True
         assert r["ring_ok"] is True
+        # int8-quantized DB shards (serving capacity format) merge exactly
+        assert r["sharded_int8_ok"] is True
         # points-sharded embed (ring kNN + all_gather ProxyConv + psum VLAD)
         # reproduces the single-device descriptor across process boundaries
         assert r["points_sharded_ok"] is True
