@@ -11,6 +11,9 @@ This is the top rung of the capacity ladder (docs/KERNELS.md):
      mesh: O(N^2/ndev) distance blocks per device, neighbour means as
      gathers over global kNN id lists — for submaps past one chip's HBM
      or when embed latency must scale down with device count.
+Training on any rung composes with TrainConfig.remat (and on rungs 1-3
+with grad_accum_steps): jax.checkpoint'd forwards recompute activations
+in the backward — see build_points_sharded_distill_fn's remat note.
 
 How each stage crosses the shard boundary:
   - kNN graph: ``ring_knn_local`` (ops/retrieval.py) — candidate blocks
@@ -196,6 +199,7 @@ def build_points_sharded_distill_fn(
     cfg: ModelConfig,
     mesh: Mesh,
     axis: str = "db",
+    remat: bool = False,
 ):
     """Gradient step for GIANT-submap distillation: the student embeds one
     points-sharded cloud and mimics a precomputed teacher descriptor
@@ -208,6 +212,14 @@ def build_points_sharded_distill_fn(
     ``new_batch_stats`` the BN running stats after this step. N must be
     divisible by the mesh axis size (see module docstring). Plug ``grads``
     into any optax optimizer.
+
+    ``remat``: jax.checkpoint the shard forward — the backward pass
+    recomputes activations (and the per-layer all_gathers) instead of
+    holding them in HBM. EXACT same values (tested); at giant-submap scale
+    this is the difference between the backward's O(layers·N·C) live
+    activations and one forward's worth, for ~1 extra forward of FLOPs +
+    ICI traffic. Composes with the sharding itself: rung 4b of the
+    capacity ladder.
     """
     from epcnet_tpu.losses import distillation_loss
 
@@ -215,11 +227,17 @@ def build_points_sharded_distill_fn(
     model = _ShardEPCNet(cfg, axis, ndev)
 
     def local(params, batch_stats, xs, target, momentum):
-        def loss_fn(p):
-            desc, updates = model.apply(
+        def fwd(p):
+            return model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 xs, None, True, momentum, mutable=["batch_stats"],
             )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(p):
+            desc, updates = fwd(p)
             return distillation_loss(desc, target), updates["batch_stats"]
 
         (loss, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -304,11 +322,20 @@ def build_points_sharded_train_step(
     def compiled(p_cnt: int, ng_cnt: int):
         def local(params, batch_stats, clouds, step):
             # clouds: [T, nl, 3] this shard's slice of every tuple cloud
-            def compute(p):
-                desc, mut = model.apply(
+            def fwd(p, mom):
+                return model.apply(
                     {"params": p, "batch_stats": batch_stats},
-                    clouds, None, True, bn_mom(step), mutable=["batch_stats"],
+                    clouds, None, True, mom, mutable=["batch_stats"],
                 )
+
+            if getattr(train_cfg, "remat", False):
+                # recompute shard activations (incl. the per-layer
+                # all_gathers) in the backward — see
+                # build_points_sharded_distill_fn's remat note
+                fwd = jax.checkpoint(fwd)
+
+            def compute(p):
+                desc, mut = fwd(p, bn_mom(step))
                 qd = desc[0][None]
                 pd = desc[1 : 1 + p_cnt][None]
                 nd = desc[1 + p_cnt : 1 + p_cnt + ng_cnt][None]

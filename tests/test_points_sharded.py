@@ -278,3 +278,63 @@ def test_tuple_train_step_learns(rng, mesh8):
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_remat_points_sharded_matches_exactly(rng, mesh8):
+    """remat on the points-sharded paths is a pure memory knob: the distill
+    gradient and a full tuple-step update must reproduce the non-remat
+    values to float tolerance (jax.checkpoint recomputes the shard forward
+    — including the per-layer all_gathers — without changing the math)."""
+    from epcnet_tpu.configs import TrainConfig
+    from epcnet_tpu.models import (
+        build_points_sharded_distill_fn,
+        build_points_sharded_train_step,
+    )
+    from epcnet_tpu.train.state import create_train_state
+
+    cfg = _f32_cfg()
+    pts = jnp.asarray(rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+    target = rng.uniform(-1, 1, (cfg.output_dim,)).astype(np.float32)
+    target = jnp.asarray(target / np.linalg.norm(target))
+    model = EPCNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), pts[None], train=False)
+
+    outs = {}
+    for remat in (False, True):
+        outs[remat] = build_points_sharded_distill_fn(cfg, mesh8, remat=remat)(
+            variables["params"], variables["batch_stats"], pts, target,
+            momentum=0.9,
+        )
+    np.testing.assert_allclose(
+        float(outs[True][0]), float(outs[False][0]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[True][1]),
+        jax.tree_util.tree_leaves(outs[False][1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+    batch = {
+        "query": pts,
+        "positives": jnp.asarray(
+            rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32)),
+        "negatives": jnp.asarray(
+            rng.uniform(-1, 1, (3, 128, 3)).astype(np.float32)),
+        "other_neg": jnp.asarray(
+            rng.uniform(-1, 1, (128, 3)).astype(np.float32)),
+    }
+    states = {}
+    for remat in (False, True):
+        tcfg = TrainConfig(loss="lazy_quadruplet", optimizer="momentum",
+                           remat=remat)
+        state = create_train_state(cfg, tcfg, num_points=128)
+        state, m = build_points_sharded_train_step(cfg, tcfg, mesh8)(
+            state, batch)
+        states[remat] = (state, float(m["loss"]))
+    np.testing.assert_allclose(states[True][1], states[False][1], rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(states[True][0].params),
+        jax.tree_util.tree_leaves(states[False][0].params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
