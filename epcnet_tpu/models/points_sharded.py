@@ -311,6 +311,12 @@ def build_points_sharded_train_step(
     from epcnet_tpu import losses as losses_lib
     from epcnet_tpu.train.state import bn_momentum_schedule, lr_schedule
 
+    if getattr(train_cfg, "grad_accum_steps", 1) != 1:
+        raise ValueError(
+            "grad_accum_steps does not apply to the points-sharded step "
+            "(ONE tuple per optimizer step — there is no batch axis to "
+            "split; use train.remat or more devices on the point axis)"
+        )
     ndev = mesh.shape[axis]
     model = _ShardEPCNet(cfg, axis, ndev)
     loss_fn = losses_lib.get_loss(train_cfg.loss)

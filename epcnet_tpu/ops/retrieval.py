@@ -64,20 +64,52 @@ def quantize_descriptors(desc: jnp.ndarray):
 
 
 def dequantize_descriptors(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`quantize_descriptors` (fp32). Under jit the
-    convert+multiply fuses into the consumer's distance matmul read, so the
-    fp32 view is transient compute scratch — the resident buffer stays int8."""
+    """Inverse of :func:`quantize_descriptors` (fp32). NOT on the retrieval
+    hot path — distances are computed directly from (int8, scale) there
+    (:func:`quantized_distance_matrix`) so no [N, D] fp32 array ever
+    materializes. This exists for tests/tools that want the fp32 view."""
     return q.astype(jnp.float32) * scale
+
+
+def quantized_distance_matrix(
+    queries: jnp.ndarray, db_q: jnp.ndarray, db_scale: jnp.ndarray
+) -> jnp.ndarray:
+    """[Q, D] fp32 x ([N, D] int8, [N, 1] scale) -> [Q, N] squared L2 in
+    dequantized space — WITHOUT materializing a dequantized [N, D] fp32
+    database (which would be a 4x-of-resident transient, defeating the int8
+    capacity win at exactly the DB sizes it exists for). The per-row scale
+    factors out of both terms that touch the database:
+
+      |x_n|^2      = s_n^2 * sum_d qi[n,d]^2   (int8^2 sums are exact in
+                                                fp32: <= 127^2 * D << 2^24)
+      q_i . x_n    = s_n * (q @ qi^T)[i, n]
+
+    so the int8 buffer is read by one fused square-reduce and one matmul
+    whose operand convert fuses into the dot — peak memory stays O(int8 DB
+    + Q·N distances)."""
+    q = queries.astype(jnp.float32)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    s = db_scale.astype(jnp.float32)[:, 0]  # [N]
+    dd = (jnp.sum(jnp.square(db_q.astype(jnp.float32)), axis=-1)
+          * jnp.square(s))[None, :]
+    cross = jnp.einsum(
+        "qd,nd->qn", q, db_q.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ) * s[None, :]
+    return jnp.maximum(qq + dd - 2.0 * cross, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_neighbors_quantized(
     queries: jnp.ndarray, db_q: jnp.ndarray, db_scale: jnp.ndarray, k: int
 ):
-    """k-NN against an int8-quantized database: dequantize in-jit, then the
-    same exact MXU top-k. Distances are in dequantized space (approximate by
-    the quantization error bound above)."""
-    return topk_neighbors(queries, dequantize_descriptors(db_q, db_scale), k)
+    """k-NN against an int8-quantized database: distances straight from
+    (int8, scale) — see :func:`quantized_distance_matrix` — then the same
+    exact MXU top-k. Distances are in dequantized space (approximate by the
+    quantization error bound above)."""
+    d = quantized_distance_matrix(queries, db_q, db_scale)
+    neg, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32), -neg
 
 
 def sharded_topk_neighbors(
@@ -118,8 +150,13 @@ def sharded_topk_neighbors(
         my = jax.lax.axis_index(axis)
         rows = db_shard.shape[0]
         if quantized:
-            db_shard = dequantize_descriptors(db_shard, scale_shard[0])
-        idx, dist = topk_neighbors(q, db_shard, k)
+            # distances straight from (int8, scale) — no dequantized fp32
+            # shard transient (quantized_distance_matrix)
+            d = quantized_distance_matrix(q, db_shard, scale_shard[0])
+            neg, idx = jax.lax.top_k(-d, k)
+            idx, dist = idx.astype(jnp.int32), -neg
+        else:
+            idx, dist = topk_neighbors(q, db_shard, k)
         gidx = idx + my * rows
         # all-gather the candidate lists: [ndev, Q, k]
         all_idx = jax.lax.all_gather(gidx, axis)

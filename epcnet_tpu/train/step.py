@@ -37,10 +37,15 @@ def _accum_value_and_grad(grad_fn, params, batch_stats, batch, accum: int):
     """Gradient accumulation over ``accum`` sequential micro-batches inside
     one jitted step (TrainConfig.grad_accum_steps): the tuple axis B is split
     into [accum, B/accum] and scanned, so peak activation memory is that of
-    ONE micro-batch. Gradients of the mean loss are averaged across micros
-    (exactly the full-batch gradient except through BatchNorm, which
-    normalizes per micro-batch — standard accumulation semantics); BN EMA
-    stats chain ``accum`` updates per optimizer step.
+    ONE micro-batch. The split is INTERLEAVED (micro j takes tuples
+    j::accum): with the batch axis block-sharded over a "data" mesh axis, a
+    contiguous split would put each micro-batch entirely on 1/accum of the
+    devices and force GSPMD to reshard every scan iteration, while the
+    strided split's [B]->[B/accum, accum] reshape is shard-local and keeps
+    every micro evenly distributed. Gradients of the mean loss are averaged
+    across micros (exactly the full-batch gradient except through BatchNorm,
+    which normalizes per micro-batch — standard accumulation semantics); BN
+    EMA stats chain ``accum`` updates per optimizer step.
 
     ``grad_fn(params, batch_stats, micro_batch) -> ((loss, (new_bs, aux)),
     grads)``. Returns (loss, new_batch_stats, aux, grads) with loss/aux
@@ -52,7 +57,10 @@ def _accum_value_and_grad(grad_fn, params, batch_stats, batch, accum: int):
             f"batch size {b} is not divisible by grad_accum_steps={accum}"
         )
     micro = jax.tree_util.tree_map(
-        lambda x: x.reshape((accum, b // accum) + x.shape[1:]), batch
+        lambda x: jnp.moveaxis(
+            x.reshape((b // accum, accum) + x.shape[1:]), 1, 0
+        ),
+        batch,
     )
 
     def body(carry, mb):

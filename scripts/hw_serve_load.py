@@ -14,6 +14,7 @@ protocol measures true serving latency.
 pinning that the quantization error never flips a top-1 on real
 descriptors.
 """
+import argparse
 import os
 import sys
 import threading
@@ -28,7 +29,9 @@ from epcnet_tpu.data.tuples import load_pickle
 from epcnet_tpu.serve import PlaceIndex, QueryScheduler
 
 HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
-QUANT = "int8" if "--quantize" in sys.argv and "int8" in sys.argv else "none"
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--quantize", default="none", choices=("none", "int8"))
+QUANT = _ap.parse_args().quantize
 
 idx = PlaceIndex.from_checkpoint(f"{HW}/log", embed_batch=8, quantize=QUANT)
 db_sets = load_pickle(f"{HW}/data/oxford_evaluation_database.pickle")

@@ -111,10 +111,10 @@ for name, remat, accum in CONFIGS:
             print(f"{name:14s} B={b:3d} FAIL {msg}", flush=True)
             break
         finally:
-            try:
-                del state, batch, step
-            except NameError:
-                pass
+            # module scope: drop whichever of the three got assigned before
+            # a failure, so a leaked buffer can't skew the next attempt
+            for _name in ("state", "batch", "step"):
+                globals().pop(_name, None)
             gc.collect()
     results[name] = (fits, times)
 

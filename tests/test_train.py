@@ -357,11 +357,12 @@ def test_accum_value_and_grad_matches_explicit_loop():
     loss, new_bs, aux, grads = _accum_value_and_grad(
         grad_fn, params, jnp.float32(0.0), batch, 2
     )
-    # explicit loop over the same micro split
+    # explicit loop over the same micro split — INTERLEAVED (micro j takes
+    # rows j::accum; shard-local under a "data"-sharded batch axis)
     bs = jnp.float32(0.0)
     losses, ms, gs = [], [], []
     for i in range(2):
-        mb = {k: v[2 * i : 2 * i + 2] for k, v in batch.items()}
+        mb = {k: v[i::2] for k, v in batch.items()}
         (l, (bs, a)), g = grad_fn(params, bs, mb)
         losses.append(float(l))
         ms.append(float(a["m"]))
