@@ -566,3 +566,100 @@ def test_embed_cli_size_mismatch_raises(embed_log_dir, tmp_path, rng):
     with pytest.raises(ValueError, match="points_sharded"):
         embed_main(["--log_dir", embed_log_dir, "--output",
                     str(tmp_path / "x.npy"), str(tmp_path / "bad.npy")])
+
+
+def test_export_convert_roundtrip(embed_log_dir, tmp_path, rng):
+    """cli/export -> cli/convert (self layout) reproduces the exact
+    descriptors from a fresh run directory; the unlabeled-rename path goes
+    through the shape-graph auto-matcher (--name_map auto) and must land on
+    the same weights too (the porting-day front door, VERDICT r2 #4)."""
+    from epcnet_tpu.cli.convert import main as convert_main
+    from epcnet_tpu.cli.embed import main as embed_main
+    from epcnet_tpu.cli.export import main as export_main
+
+    cloud = str(tmp_path / "c.npy")
+    np.save(cloud, rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+
+    def embed_with(log_dir, tag):
+        out = str(tmp_path / f"d_{tag}.npy")
+        embed_main(["--log_dir", log_dir, "--output", out, cloud])
+        return np.load(out)
+
+    ref = embed_with(embed_log_dir, "ref")
+
+    exp = str(tmp_path / "export")
+    export_main(["--log_dir", embed_log_dir, "--output", exp])
+    manifest = json.load(open(exp + ".json"))
+    z = np.load(exp + ".npz")
+    assert len(z.files) == len(manifest["leaves"]) > 10
+    assert all(k.startswith(("params/", "batch_stats/")) for k in z.files)
+
+    # 1) lossless self-layout re-import (auto-detected)
+    log2 = str(tmp_path / "log2")
+    convert_main(["--source", exp + ".npz", "--log_dir", log2,
+                  "--config", os.path.join(embed_log_dir, "config.json")])
+    np.testing.assert_allclose(embed_with(log2, "self"), ref, atol=1e-6)
+
+    # 2) unlabeled rename in forward-topological order -> auto-matcher
+    from epcnet_tpu.configs import ExperimentConfig
+    from epcnet_tpu.train import create_train_state
+    from epcnet_tpu.train.checkpoint import CheckpointManager
+    from epcnet_tpu.utils.importer import model_leaf_order
+
+    cfg = ExperimentConfig.from_json(
+        open(os.path.join(embed_log_dir, "config.json")).read())
+    state = CheckpointManager(f"{embed_log_dir}/ckpt", 2).restore(
+        create_train_state(cfg.model, cfg.train), require=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def leaf(tree_name, path):
+        node = variables["params" if tree_name == "params" else "batch_stats"]
+        for p in path.split("/"):
+            node = node[p]
+        return np.asarray(node, np.float32)
+
+    anon = {
+        f"var_{i:03d}": leaf(t, p)
+        for i, (t, p, _) in enumerate(model_leaf_order(variables))
+    }
+    src = str(tmp_path / "anon.npz")
+    np.savez(src, **anon)
+    log3 = str(tmp_path / "log3")
+    convert_main(["--source", src, "--log_dir", log3, "--name_map", "auto",
+                  "--config", os.path.join(embed_log_dir, "config.json")])
+    np.testing.assert_allclose(embed_with(log3, "auto"), ref, atol=1e-6)
+
+    with pytest.raises(ValueError, match="extension"):
+        convert_main(["--source", str(tmp_path / "x.weird"),
+                      "--log_dir", str(tmp_path / "log4")])
+
+
+def test_convert_torch_source(embed_log_dir, tmp_path, rng):
+    """A torch-saved archive (.pt) of the self-layout dict loads through
+    torch.load and re-imports losslessly (the torch leg of load_source)."""
+    import torch
+
+    from epcnet_tpu.cli.convert import main as convert_main
+    from epcnet_tpu.cli.embed import main as embed_main
+    from epcnet_tpu.cli.export import main as export_main
+
+    exp = str(tmp_path / "export")
+    export_main(["--log_dir", embed_log_dir, "--output", exp])
+    z = np.load(exp + ".npz")
+    pt = str(tmp_path / "weights.pt")
+    # wrapped {"state_dict": ...} form, tensors not arrays — both unwrapped
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(z[k]))
+                               for k in z.files}}, pt)
+
+    log2 = str(tmp_path / "log_pt")
+    convert_main(["--source", pt, "--log_dir", log2,
+                  "--config", os.path.join(embed_log_dir, "config.json")])
+
+    cloud = str(tmp_path / "c2.npy")
+    np.save(cloud, rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+    outs = []
+    for ld in (embed_log_dir, log2):
+        out = str(tmp_path / f"d_{os.path.basename(ld)}.npy")
+        embed_main(["--log_dir", ld, "--output", out, cloud])
+        outs.append(np.load(out))
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
