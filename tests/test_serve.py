@@ -535,3 +535,52 @@ def test_place_index_int8_sharded_matches_unsharded(rng, tiny_model_cfg, mesh8):
     ids_s, d_s = sharded.query_descriptors(desc[:10], k=7)
     np.testing.assert_array_equal(ids_p, ids_s)
     np.testing.assert_allclose(d_p, d_s, atol=1e-5)
+
+
+def test_http_server_mesh_int8(tiny_model_cfg, rng, mesh8):
+    """The full HTTP stack over a MESH-SHARDED int8 device DB — the
+    pod-serving configuration (`cli/serve --mesh --quantize int8`):
+    micro-batched self-retrieval must stay exact through per-shard
+    dequantized distances."""
+    import json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from epcnet_tpu.cli.serve import make_server
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    index = PlaceIndex(
+        embed, state.params, state.batch_stats,
+        descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4,
+        block_rows=64, mesh=mesh8, quantize="int8",
+    )
+    srv, sched = make_server(index, port=0, k=3, max_wait_ms=10.0)
+    host, port = srv.server_address
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def call(path, payload):
+        req = urllib.request.Request(
+            f"http://{host}:{port}{path}", json.dumps(payload).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        pts = rng.uniform(-1, 1, (8, 128, 3)).astype(np.float32)
+        assert call("/add", {"points": pts.tolist()}) == {"size": 8}
+        with ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(
+                lambda i: call("/query", {"points": pts[i].tolist(), "k": 2}),
+                range(8),
+            ))
+        for i, r in enumerate(results):
+            assert r["ids"][0] == i
+        assert np.asarray(index._dev_db).dtype == np.int8
+        assert index._use_sharded
+    finally:
+        srv.shutdown()
+        sched.stop()
