@@ -13,6 +13,8 @@ micro-batched into shared MXU dispatches.
 JSON API (``Content-Type: application/json``):
 
   GET  /healthz -> {"ok": true, "size": N, "dim": D}
+  GET  /metrics -> {"index": {...}, "scheduler": {...}}   (counters, device
+                bytes, avg micro-batch, recent p50/p99 latency)
   POST /embed   {"points": [[[x,y,z], ...], ...]}          (batch of submaps)
                 -> {"descriptors": [[...], ...]}
   POST /add     {"points": [...], "metadata": [...]}        -> {"size": N}
@@ -57,6 +59,14 @@ def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True, "size": len(index), "dim": index.dim})
+            elif self.path == "/metrics":
+                # counters + gauges for scrapers/dashboards: index state
+                # (size, device bytes, quantize mode, sync counts) and
+                # scheduler behavior (avg micro-batch, recent p50/p99)
+                self._reply(200, {
+                    "index": index.metrics(),
+                    "scheduler": sched.metrics(),
+                })
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 

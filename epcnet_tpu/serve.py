@@ -34,6 +34,7 @@ behind each other.
 
 from __future__ import annotations
 
+import collections
 import os
 import queue
 import threading
@@ -129,6 +130,11 @@ class PlaceIndex:
 
         self._append_fn_q = jax.jit(_append_quantized, out_shardings=pair_sh)
         self._lock = threading.RLock()  # guards _db/_meta/_dev_db bookkeeping
+        # Monotonic operation counters (production monitoring — GET /metrics
+        # on the HTTP server). Mutated only under the lock / by the single
+        # sync path, read without (snapshot semantics are fine for gauges).
+        self._counters = {"adds": 0, "rows_added": 0, "queries": 0,
+                          "query_rows": 0, "dev_syncs": 0}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -186,6 +192,8 @@ class PlaceIndex:
         with self._lock:
             self._db = np.concatenate([self._db, desc.astype(np.float32)], axis=0)
             self._meta.extend(metadata if metadata is not None else [None] * len(desc))
+            self._counters["adds"] += 1
+            self._counters["rows_added"] += len(desc)
             # device sync is lazy (next query): adds stay cheap and bursts
             # of adds coalesce into one device append
 
@@ -209,6 +217,8 @@ class PlaceIndex:
             self._sync_dev_db()
             dbj = self._dev_db
             scj = self._dev_scale
+            self._counters["queries"] += 1
+            self._counters["query_rows"] += desc.shape[0]
         # Pad the query batch up to an embed_batch multiple: QueryScheduler
         # micro-batches are variable-sized (1..max_batch), and an unpadded
         # retrieval would compile one program per distinct size — measured as
@@ -288,6 +298,28 @@ class PlaceIndex:
                 self._dev_db, jnp.asarray(upd), jnp.int32(start)
             )
         self._dev_rows = n
+        self._counters["dev_syncs"] += 1
+
+    def metrics(self) -> dict:
+        """Operational gauges + counters for monitoring (GET /metrics)."""
+        with self._lock:
+            cap = 0 if self._dev_db is None else int(self._dev_db.shape[0])
+            dev_bytes = 0
+            if self._dev_db is not None:
+                dev_bytes = int(self._dev_db.size) * (
+                    1 if self.quantize == "int8" else 4
+                )
+                if self._dev_scale is not None:
+                    dev_bytes += int(self._dev_scale.size) * 4
+            return {
+                "size": len(self._db),
+                "dim": self.dim,
+                "quantize": self.quantize,
+                "sharded": self._use_sharded,
+                "device_rows_capacity": cap,
+                "device_bytes": dev_bytes,
+                **self._counters,
+            }
 
     def metadata(self, ids) -> list:
         # append-only DB: ids from any earlier query remain valid
@@ -334,6 +366,12 @@ class QueryScheduler:
         self._max_wait = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # Monitoring: cumulative counters + a bounded window of recent
+        # per-request latencies (submit -> result, seconds). Written only by
+        # the single worker thread; deque appends are atomic, so metrics()
+        # reads need no lock.
+        self._counters = {"requests": 0, "dispatches": 0, "errors": 0}
+        self._recent_lat = collections.deque(maxlen=1024)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -342,7 +380,7 @@ class QueryScheduler:
         if self._stop.is_set():
             raise RuntimeError("scheduler stopped")
         fut: Future = Future()
-        self._q.put((np.asarray(points), fut))
+        self._q.put((np.asarray(points), fut, time.perf_counter()))
         return fut
 
     def _run(self):
@@ -364,17 +402,36 @@ class QueryScheduler:
             # poison the other callers' micro-batch — each shape group is
             # served (and fails) independently
             groups: dict = {}
-            for pts, fut in batch:
-                groups.setdefault(getattr(pts, "shape", None), []).append((pts, fut))
+            for pts, fut, t0 in batch:
+                groups.setdefault(getattr(pts, "shape", None), []).append(
+                    (pts, fut, t0)
+                )
             for group in groups.values():
+                self._counters["dispatches"] += 1
+                self._counters["requests"] += len(group)
                 try:
                     pts = np.stack([g[0] for g in group])
                     ids, dists = self.index.query(pts, self.k)
-                    for i, (_, fut) in enumerate(group):
+                    done = time.perf_counter()
+                    for i, (_, fut, t0) in enumerate(group):
+                        self._recent_lat.append(done - t0)
                         fut.set_result((ids[i], dists[i]))
                 except Exception as e:  # propagate to this group's callers only
-                    for _, fut in group:
+                    self._counters["errors"] += len(group)
+                    for _, fut, _t0 in group:
                         fut.set_exception(e)
+
+    def metrics(self) -> dict:
+        """Counters + recent-window latency percentiles for monitoring."""
+        c = dict(self._counters)
+        lat = sorted(self._recent_lat)
+        if lat:
+            c["latency_recent_n"] = len(lat)
+            c["latency_p50_ms"] = lat[len(lat) // 2] * 1e3
+            c["latency_p99_ms"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3
+        c["avg_batch"] = c["requests"] / c["dispatches"] if c["dispatches"] else 0.0
+        c["queue_depth"] = self._q.qsize()
+        return c
 
     def stop(self) -> None:
         self._stop.set()

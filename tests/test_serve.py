@@ -584,3 +584,55 @@ def test_http_server_mesh_int8(tiny_model_cfg, rng, mesh8):
     finally:
         srv.shutdown()
         sched.stop()
+
+
+def test_metrics_surface(tiny_model_cfg, rng):
+    """PlaceIndex.metrics / QueryScheduler.metrics / GET /metrics: counters
+    stay consistent with the work actually done (the monitoring surface a
+    production deployment scrapes)."""
+    import json
+    import threading
+    import urllib.request
+
+    from epcnet_tpu.cli.serve import make_server
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    index = PlaceIndex(
+        embed, state.params, state.batch_stats,
+        descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4,
+        block_rows=64, quantize="int8",
+    )
+    srv, sched = make_server(index, port=0, k=3, max_wait_ms=5.0)
+    host, port = srv.server_address
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def call(path, payload=None):
+        url = f"http://{host}:{port}{path}"
+        req = (urllib.request.Request(url) if payload is None else
+               urllib.request.Request(url, json.dumps(payload).encode(),
+                                      {"Content-Type": "application/json"}))
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        pts = rng.uniform(-1, 1, (5, 128, 3)).astype(np.float32)
+        call("/add", {"points": pts.tolist()})
+        for i in range(3):
+            call("/query", {"points": pts[i].tolist(), "k": 2})
+        m = call("/metrics")
+        ix, sc = m["index"], m["scheduler"]
+        assert ix["size"] == 5 and ix["adds"] == 1 and ix["rows_added"] == 5
+        assert ix["quantize"] == "int8" and ix["dev_syncs"] >= 1
+        # int8 device buffer: rows*dim bytes + 4 bytes/row of scales
+        assert ix["device_bytes"] == ix["device_rows_capacity"] * (ix["dim"] + 4)
+        assert sc["requests"] == 3 and sc["errors"] == 0
+        assert sc["dispatches"] >= 1 and sc["avg_batch"] >= 1.0
+        assert sc["latency_recent_n"] == 3 and sc["latency_p50_ms"] > 0
+        assert sc["latency_p99_ms"] >= sc["latency_p50_ms"]
+        # index-level query counters include scheduler-batched calls
+        assert ix["queries"] == sc["dispatches"]
+    finally:
+        srv.shutdown()
+        sched.stop()
