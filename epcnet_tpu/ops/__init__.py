@@ -17,7 +17,7 @@ from epcnet_tpu.ops.sampling import (
     three_nn,
     three_interpolate,
 )
-from epcnet_tpu.ops.retrieval import l2_distance_matrix, topk_neighbors, sharded_topk_neighbors, ring_topk_neighbors, ring_knn_points, quantize_descriptors, dequantize_descriptors, topk_neighbors_quantized
+from epcnet_tpu.ops.retrieval import l2_distance_matrix, topk_neighbors, sharded_topk_neighbors, ring_topk_neighbors, ring_knn_points, quantize_descriptors, dequantize_descriptors, quantized_distance_matrix, topk_neighbors_quantized
 
 __all__ = [
     "pairwise_sqdist",
@@ -41,4 +41,8 @@ __all__ = [
     "sharded_topk_neighbors",
     "ring_topk_neighbors",
     "ring_knn_points",
+    "quantize_descriptors",
+    "dequantize_descriptors",
+    "quantized_distance_matrix",
+    "topk_neighbors_quantized",
 ]
