@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--database_pickle", default=None)
     ap.add_argument("--query_pickle", default=None)
     ap.add_argument("--mesh", action="store_true", help="shard the DB over devices")
+    ap.add_argument("--quantize", default="none", choices=("none", "int8"),
+                    help="retrieve against the int8-quantized DB (the "
+                    "serving capacity format) to quantify its recall cost")
     ap.add_argument("--latency_probe", action="store_true")
     ap.add_argument("--output", default=None, help="default <log_dir>/results.txt")
     args = ap.parse_args(argv)
@@ -96,7 +99,8 @@ def main(argv=None):
             )
 
     results = evaluate_dataset(
-        embed, state.params, state.batch_stats, regions, cfg.data, cfg.eval, mesh
+        embed, state.params, state.batch_stats, regions, cfg.data, cfg.eval,
+        mesh, quantize=args.quantize,
     )
 
     out_path = args.output or os.path.join(args.log_dir, "results.txt")

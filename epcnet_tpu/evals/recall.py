@@ -24,7 +24,12 @@ import jax.numpy as jnp
 
 from epcnet_tpu.configs import DataConfig, EvalConfig
 from epcnet_tpu.data.native_loader import load_pc_files_native
-from epcnet_tpu.ops.retrieval import sharded_topk_neighbors, topk_neighbors
+from epcnet_tpu.ops.retrieval import (
+    quantize_descriptors,
+    sharded_topk_neighbors,
+    topk_neighbors,
+    topk_neighbors_quantized,
+)
 
 
 def embed_entries(
@@ -54,16 +59,35 @@ def get_recall(
     gt: list[list[int]],
     top_k: int = 25,
     mesh=None,
+    quantize: str = "none",
 ):
     """recall@1..top_k and recall@top-1% for one (database, query-run) pair.
 
     gt[i] = ground-truth database indices for query i (may be empty —
     such queries are skipped, as in the reference).
+
+    ``quantize="int8"`` retrieves against the int8-quantized DB exactly as
+    serving does (ops/retrieval.py) — quantifying what the serving
+    capacity format costs in recall (measured: nothing, the ~4e-4
+    dequantization error is far below inter-place margins).
     """
+    if quantize not in ("none", "int8"):
+        raise ValueError(f"quantize={quantize!r} not in {{'none', 'int8'}}")
     one_percent_k = max(int(np.ceil(len(db_desc) / 100.0)), 1)
     k = max(top_k, one_percent_k)
     k = min(k, len(db_desc))
-    if mesh is not None and "db" in mesh.shape and mesh.shape["db"] > 1:
+    sharded = mesh is not None and "db" in mesh.shape and mesh.shape["db"] > 1
+    if quantize == "int8":
+        db_q, db_scale = quantize_descriptors(jnp.asarray(db_desc))
+        if sharded:
+            idx, _ = sharded_topk_neighbors(
+                jnp.asarray(q_desc), db_q, k, mesh, db_scale=db_scale
+            )
+        else:
+            idx, _ = topk_neighbors_quantized(
+                jnp.asarray(q_desc), db_q, db_scale, k
+            )
+    elif sharded:
         idx, _ = sharded_topk_neighbors(
             jnp.asarray(q_desc), jnp.asarray(db_desc), k, mesh
         )
@@ -100,6 +124,7 @@ def evaluate_region(
     data_cfg: DataConfig,
     eval_cfg: EvalConfig | None = None,
     mesh=None,
+    quantize: str = "none",
 ):
     """All (database run i, query run j != i) pairs of one region
     [LINEAGE: evaluate.py evaluate()]. Returns dict of averaged metrics."""
@@ -124,7 +149,8 @@ def evaluate_region(
                 continue
             gt = [qset[i].get(di, []) for i in range(len(qset))]
             r, p1, n_eval = get_recall(
-                db_descs[di], q_descs[qi], gt, eval_cfg.top_k, mesh
+                db_descs[di], q_descs[qi], gt, eval_cfg.top_k, mesh,
+                quantize=quantize,
             )
             if n_eval:
                 recalls.append(r)
@@ -139,7 +165,7 @@ def evaluate_region(
 
 def evaluate_dataset(
     embed_fn, params, batch_stats, regions: dict, data_cfg: DataConfig,
-    eval_cfg: EvalConfig | None = None, mesh=None,
+    eval_cfg: EvalConfig | None = None, mesh=None, quantize: str = "none",
 ):
     """regions: {name: (database_sets, query_sets)}. Averages across regions
     (the reference's final results.txt table)."""
@@ -147,7 +173,8 @@ def evaluate_dataset(
     per_region = []
     for name, (db_sets, q_sets) in regions.items():
         m = evaluate_region(
-            embed_fn, params, batch_stats, db_sets, q_sets, data_cfg, eval_cfg, mesh
+            embed_fn, params, batch_stats, db_sets, q_sets, data_cfg,
+            eval_cfg, mesh, quantize=quantize,
         )
         out[name] = m
         per_region.append(m)
