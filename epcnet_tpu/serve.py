@@ -35,6 +35,7 @@ behind each other.
 from __future__ import annotations
 
 import collections
+import functools
 import os
 import queue
 import threading
@@ -129,6 +130,30 @@ class PlaceIndex:
             )
 
         self._append_fn_q = jax.jit(_append_quantized, out_shardings=pair_sh)
+        # Fused embed+retrieve (the unsharded serving hot path): ONE jitted
+        # program embeds the padded query batch AND retrieves against the
+        # device DB, so a scheduler dispatch costs ONE device round trip
+        # instead of two (embed, then top-k). Each dispatch carries a ~35 ms
+        # floor through the axon tunnel (docs/KERNELS.md "tunnel tax"), and
+        # on any deployment this halves launch overhead per micro-batch.
+        # Compiled per (db capacity, k): capacities double (log many
+        # shapes), the scheduler uses one fixed k.
+        if embed_fn is not None:
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def _fused_query_f(params, stats, pts, db, k: int):
+                return topk_neighbors(embed_fn(params, stats, pts), db, k)
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def _fused_query_q(params, stats, pts, db, scale, k: int):
+                return topk_neighbors_quantized(
+                    embed_fn(params, stats, pts), db, scale, k
+                )
+
+            self._fused_f = _fused_query_f
+            self._fused_q = _fused_query_q
+        else:
+            self._fused_f = self._fused_q = None
         self._lock = threading.RLock()  # guards _db/_meta/_dev_db bookkeeping
         # Monotonic operation counters (production monitoring — GET /metrics
         # on the HTTP server). Mutated only under the lock / by the single
@@ -203,7 +228,40 @@ class PlaceIndex:
 
     # ------------------------------------------------------------------
     def query(self, points: np.ndarray, k: int = 25):
-        """Embed + retrieve. Returns (ids [B, k], sqdists [B, k])."""
+        """Embed + retrieve. Returns (ids [B, k], sqdists [B, k]).
+
+        Batches up to ``embed_batch`` on an unsharded index take the fused
+        single-dispatch path (see __init__); larger batches and mesh-sharded
+        indexes go embed-then-retrieve."""
+        n = points.shape[0]
+        if (
+            self._fused_f is not None
+            and not self._use_sharded
+            and 0 < n <= self.embed_batch
+        ):
+            with self._lock:
+                if len(self._db) == 0:
+                    raise ValueError("empty index")
+                k = min(k, len(self._db))
+                self._sync_dev_db()
+                dbj = self._dev_db
+                scj = self._dev_scale
+                self._counters["queries"] += 1
+                self._counters["query_rows"] += n
+            pts = np.asarray(points, np.float32)
+            pad = self.embed_batch - n
+            if pad:
+                pts = np.concatenate(
+                    [pts, np.zeros((pad,) + pts.shape[1:], np.float32)]
+                )
+            pts = jnp.asarray(pts)
+            if self.quantize == "int8":
+                idx, dist = self._fused_q(
+                    self._params, self._stats, pts, dbj, scj, k=k
+                )
+            else:
+                idx, dist = self._fused_f(self._params, self._stats, pts, dbj, k=k)
+            return np.asarray(idx)[:n], np.asarray(dist)[:n]
         return self.query_descriptors(self.embed(points), k)
 
     def query_descriptors(self, desc: np.ndarray, k: int = 25):

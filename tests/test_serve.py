@@ -636,3 +636,34 @@ def test_metrics_surface(tiny_model_cfg, rng):
     finally:
         srv.shutdown()
         sched.stop()
+
+
+def test_fused_query_matches_two_step(tiny_model_cfg, rng):
+    """query() batches <= embed_batch take the fused single-dispatch
+    embed+retrieve program; results must equal the two-step
+    embed->query_descriptors path exactly (fp32 and int8), and the fused
+    path must not touch .embed() (that's the dispatch being saved)."""
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    pts = rng.uniform(-1, 1, (10, 128, 3)).astype(np.float32)
+    for quant in ("none", "int8"):
+        ix = PlaceIndex(
+            embed, state.params, state.batch_stats,
+            descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4,
+            block_rows=64, quantize=quant,
+        )
+        ix.add(pts)
+        # two-step reference on a 3-batch (< embed_batch=4)
+        ids_ref, d_ref = ix.query_descriptors(ix.embed(pts[:3]), k=4)
+        orig_embed = ix.embed
+        ix.embed = None  # fused path must not need it
+        ids, d = ix.query(pts[:3], k=4)
+        ix.embed = orig_embed
+        np.testing.assert_array_equal(ids, ids_ref)
+        np.testing.assert_allclose(d, d_ref, atol=1e-5)
+        # top-1 self-retrieval through the fused path
+        np.testing.assert_array_equal(ids[:, 0], np.arange(3))
+        # oversized batch falls back to embed-then-retrieve
+        ids_big, _ = ix.query(pts, k=1)
+        np.testing.assert_array_equal(ids_big.ravel(), np.arange(10))
