@@ -58,7 +58,19 @@ def load_source(path: str) -> dict:
     if ext in (".pt", ".pth", ".bin"):
         import torch
 
-        obj = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            # plain tensor dicts load under the safe pickle mode — prefer it
+            # (external checkpoints are untrusted input; weights_only=False
+            # means arbitrary pickle code execution)
+            obj = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"{path}: not loadable with weights_only=True; falling back "
+                "to full unpickling — only do this for checkpoints you trust"
+            )
+            obj = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(obj, "state_dict"):
             obj = obj.state_dict()
         if isinstance(obj, dict) and "state_dict" in obj and isinstance(
@@ -123,9 +135,12 @@ def main(argv=None):
     log_string(f"loaded {len(sd)} source arrays from {args.source}")
 
     source = args.source_format
-    if os.path.splitext(args.source)[1].lower() in (".pt", ".pth") and (
+    if os.path.splitext(args.source)[1].lower() in (".pt", ".pth", ".bin") and (
         args.source_format == "tf"
     ):
+        # torch archives default to torch layout conversions (Linear
+        # transpose etc.) — silently keeping "tf" would shape-match square
+        # kernels untransposed and import wrong weights
         source = "torch"
 
     strategy = args.name_map
@@ -139,6 +154,18 @@ def main(argv=None):
     state = create_train_state(cfg.model, cfg.train)
     if strategy == "self":
         params, stats = _unflatten_self(sd)
+        # completeness: every model leaf must be present — a truncated or
+        # empty archive must fail loudly, not convert to part-random weights
+        from epcnet_tpu.cli.export import flatten_variables
+
+        want = set(flatten_variables(state.params, state.batch_stats))
+        missing = sorted(want - set(sd))
+        if missing:
+            raise ValueError(
+                f"self-layout import is missing {len(missing)} of "
+                f"{len(want)} model leaves (truncated archive?): "
+                f"{missing[:5]}..."
+            )
     elif strategy == "auto":
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         params, stats = automatch_state_dict(sd, variables, source=source)

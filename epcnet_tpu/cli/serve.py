@@ -111,6 +111,15 @@ def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
                 elif self.path == "/query_batch":
                     pts = self._points(req, 3)  # [B, N, 3]
                     k = int(req.get("k", default_k))
+                    if k > sched.k:
+                        # same cap as /query: an uncapped per-request k
+                        # compiles a new top-k program per distinct value —
+                        # a client k-sweep must not become a compile storm
+                        return self._reply(400, {
+                            "error": f"k={k} exceeds the server's "
+                            f"--k={sched.k}; raise --k or request fewer "
+                            "neighbours"
+                        })
                     ids, dists = index.query(pts, k)
                     self._reply(200, {"ids": ids.tolist(), "sqdists": dists.tolist()})
                 else:
@@ -182,7 +191,7 @@ def main(argv=None):
         mesh = make_multislice_mesh(MeshConfig(data_axis=-1, db_axis=db_axis))
     index = PlaceIndex.from_checkpoint(
         args.log_dir, mesh=mesh, embed_batch=args.embed_batch,
-        quantize=args.quantize,
+        quantize=args.quantize, max_k=args.k,
     )
     if args.db:
         index.load_db(args.db)

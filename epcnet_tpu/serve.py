@@ -60,6 +60,16 @@ from epcnet_tpu.train.state import create_train_state
 from epcnet_tpu.train.step import build_embed_fn
 
 
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad the leading axis up to the next ``multiple`` — the
+    compile-shape bucketing every query/embed path shares (variable sizes
+    would compile one XLA program per distinct size; docs/SERVING.md)."""
+    pad = (-arr.shape[0]) % multiple
+    if not pad:
+        return arr
+    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+
 class PlaceIndex:
     def __init__(
         self,
@@ -71,9 +81,18 @@ class PlaceIndex:
         block_rows: int = 4096,
         mesh=None,
         quantize: str = "none",
+        max_k: int = 25,
     ):
         if quantize not in ("none", "int8"):
             raise ValueError(f"quantize={quantize!r} not in {{'none', 'int8'}}")
+        # max_k bounds the FUSED path's static top-k (see query): the fused
+        # program always retrieves max_k rows and the per-request k trims on
+        # host, so the model+retrieve program compiles once per DB-capacity
+        # doubling — NOT once per distinct k=min(k, len(db)) (which would
+        # recompile the full model on every add while the DB is small, and
+        # turn a client k-sweep into a compile storm). Requests with
+        # k > max_k fall back to the two-step path.
+        self.max_k = max_k
         self._embed = embed_fn
         self._params = params
         self._stats = batch_stats
@@ -165,7 +184,7 @@ class PlaceIndex:
     @classmethod
     def from_checkpoint(
         cls, log_dir: str, mesh=None, embed_batch: int = 32,
-        quantize: str = "none",
+        quantize: str = "none", max_k: int = 25,
     ):
         cfg_path = os.path.join(log_dir, "config.json")
         cfg = (
@@ -184,6 +203,7 @@ class PlaceIndex:
             embed_batch,
             mesh=mesh,
             quantize=quantize,
+            max_k=max_k,
         )
 
     # ------------------------------------------------------------------
@@ -195,13 +215,10 @@ class PlaceIndex:
         bs = self.embed_batch
         for s in range(0, n, bs):
             chunk = points[s : s + bs]
-            pad = bs - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-                )
+            got = chunk.shape[0]
+            chunk = _pad_rows(np.asarray(chunk), bs)
             d = np.asarray(self._embed(self._params, self._stats, jnp.asarray(chunk)))
-            out[s : s + bs - pad] = d[: bs - pad]
+            out[s : s + got] = d[:got]
         return out
 
     def add(self, points: np.ndarray, metadata: Sequence | None = None) -> None:
@@ -238,45 +255,45 @@ class PlaceIndex:
             self._fused_f is not None
             and not self._use_sharded
             and 0 < n <= self.embed_batch
+            and k <= self.max_k
         ):
-            with self._lock:
-                if len(self._db) == 0:
-                    raise ValueError("empty index")
-                k = min(k, len(self._db))
-                self._sync_dev_db()
-                dbj = self._dev_db
-                scj = self._dev_scale
-                self._counters["queries"] += 1
-                self._counters["query_rows"] += n
-            pts = np.asarray(points, np.float32)
-            pad = self.embed_batch - n
-            if pad:
-                pts = np.concatenate(
-                    [pts, np.zeros((pad,) + pts.shape[1:], np.float32)]
-                )
-            pts = jnp.asarray(pts)
+            dbj, scj, kk = self._snapshot_db(n, k)
+            # STATIC top-k = min(max_k, capacity): the capacity tail is
+            # far-padded, so with len(db) real rows the first len(db)
+            # results are always real — host-trimming to kk <= len(db) is
+            # exact while the compiled program depends only on capacity.
+            k_fused = min(self.max_k, int(dbj.shape[0]))
+            pts = jnp.asarray(_pad_rows(np.asarray(points, np.float32),
+                                        self.embed_batch))
             if self.quantize == "int8":
                 idx, dist = self._fused_q(
-                    self._params, self._stats, pts, dbj, scj, k=k
+                    self._params, self._stats, pts, dbj, scj, k=k_fused
                 )
             else:
-                idx, dist = self._fused_f(self._params, self._stats, pts, dbj, k=k)
-            return np.asarray(idx)[:n], np.asarray(dist)[:n]
+                idx, dist = self._fused_f(
+                    self._params, self._stats, pts, dbj, k=k_fused
+                )
+            return np.asarray(idx)[:n, :kk], np.asarray(dist)[:n, :kk]
         return self.query_descriptors(self.embed(points), k)
 
-    def query_descriptors(self, desc: np.ndarray, k: int = 25):
-        # take a consistent (dev_db, k) snapshot under the lock; the device
-        # compute runs OUTSIDE it on the immutable snapshot, so queries never
-        # serialize behind each other or behind adds
+    def _snapshot_db(self, n_query_rows: int, k: int):
+        """Consistent (dev_db, scale, clamped-k) snapshot under the lock —
+        the device compute runs OUTSIDE it on the immutable buffers, so
+        queries never serialize behind each other or behind adds. The one
+        source of truth for the empty check, the k clamp, the lazy device
+        sync, and the query counters (shared by the fused and two-step
+        paths)."""
         with self._lock:
             if len(self._db) == 0:
                 raise ValueError("empty index")
-            k = min(k, len(self._db))
+            kk = min(k, len(self._db))
             self._sync_dev_db()
-            dbj = self._dev_db
-            scj = self._dev_scale
             self._counters["queries"] += 1
-            self._counters["query_rows"] += desc.shape[0]
+            self._counters["query_rows"] += n_query_rows
+            return self._dev_db, self._dev_scale, kk
+
+    def query_descriptors(self, desc: np.ndarray, k: int = 25):
+        dbj, scj, k = self._snapshot_db(desc.shape[0], k)
         # Pad the query batch up to an embed_batch multiple: QueryScheduler
         # micro-batches are variable-sized (1..max_batch), and an unpadded
         # retrieval would compile one program per distinct size — measured as
@@ -284,11 +301,7 @@ class PlaceIndex:
         # first full-width batch arrived. Padding bounds the compiled-shape
         # set to multiples of embed_batch, same policy as embed().
         n = desc.shape[0]
-        pad = (-n) % self.embed_batch
-        q = desc.astype(np.float32)
-        if pad:
-            q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
-        q = jnp.asarray(q)
+        q = jnp.asarray(_pad_rows(desc.astype(np.float32), self.embed_batch))
         if self._use_sharded:
             idx, dist = sharded_topk_neighbors(
                 q, dbj, k, self.mesh,

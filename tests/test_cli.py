@@ -637,7 +637,7 @@ def test_export_convert_roundtrip(embed_log_dir, tmp_path, rng):
 def test_convert_torch_source(embed_log_dir, tmp_path, rng):
     """A torch-saved archive (.pt) of the self-layout dict loads through
     torch.load and re-imports losslessly (the torch leg of load_source)."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     from epcnet_tpu.cli.convert import main as convert_main
     from epcnet_tpu.cli.embed import main as embed_main
@@ -663,3 +663,26 @@ def test_convert_torch_source(embed_log_dir, tmp_path, rng):
         embed_main(["--log_dir", ld, "--output", out, cloud])
         outs.append(np.load(out))
     np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
+
+
+def test_convert_self_rejects_truncated_archive(embed_log_dir, tmp_path):
+    """A partial (or empty) self-layout archive must fail loudly instead of
+    converting to part-random weights."""
+    from epcnet_tpu.cli.convert import main as convert_main
+    from epcnet_tpu.cli.export import main as export_main
+
+    exp = str(tmp_path / "export")
+    export_main(["--log_dir", embed_log_dir, "--output", exp])
+    z = dict(np.load(exp + ".npz"))
+    keys = sorted(z)
+    half = {k: z[k] for k in keys[: len(keys) // 2]}
+    src = str(tmp_path / "half.npz")
+    np.savez(src, **half)
+    with pytest.raises(ValueError, match="missing"):
+        convert_main(["--source", src, "--log_dir", str(tmp_path / "lh"),
+                      "--config", os.path.join(embed_log_dir, "config.json")])
+    np.savez(str(tmp_path / "empty.npz"))
+    with pytest.raises(ValueError, match="missing"):
+        convert_main(["--source", str(tmp_path / "empty.npz"),
+                      "--log_dir", str(tmp_path / "le"),
+                      "--config", os.path.join(embed_log_dir, "config.json")])
