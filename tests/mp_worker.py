@@ -140,6 +140,25 @@ def scenario_retrieval(args, result: dict) -> None:
     )
     result["sharded_int8_ok"] = bool(np.array_equal(np.asarray(idx), oracle_q))
 
+    # The full serving index over the SAME cross-process mesh: incremental
+    # adds (sharded device buffer), int8 residency, exact query — the
+    # pod-serving data path end-to-end (serve.PlaceIndex).
+    from epcnet_tpu.serve import PlaceIndex
+
+    pidx = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4,
+                      block_rows=16, mesh=mesh, quantize="int8")
+    pidx.add_descriptors(db[:50])
+    ids1, _ = pidx.query_descriptors(q, k=6)
+    pidx.add_descriptors(db[50:])  # incremental append after first sync
+    ids2, _ = pidx.query_descriptors(q, k=6)
+    result["place_index_mp_ok"] = bool(
+        np.array_equal(np.asarray(ids2), oracle_q)
+        # dtype via the attribute: the sharded buffer spans non-addressable
+        # devices, so np.asarray would (correctly) refuse to fetch it
+        and str(pidx._dev_db.dtype) == "int8"
+        and pidx.metrics()["sharded"]
+    )
+
     # Points-sharded embed across the SAME process boundaries: ppermute ring
     # kNN + per-layer all_gather + psum-completed VLAD over Gloo, checked
     # against the local single-device dense path (non-divisible N exercises

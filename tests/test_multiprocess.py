@@ -151,6 +151,9 @@ def test_multiprocess_sharded_and_ring_retrieval(mp_dataset):
         assert r["ring_ok"] is True
         # int8-quantized DB shards (serving capacity format) merge exactly
         assert r["sharded_int8_ok"] is True
+        # the full PlaceIndex (incremental sharded adds + int8 residency)
+        # serves exactly across the same process boundaries
+        assert r["place_index_mp_ok"] is True
         # points-sharded embed (ring kNN + all_gather ProxyConv + psum VLAD)
         # reproduces the single-device descriptor across process boundaries
         assert r["points_sharded_ok"] is True
