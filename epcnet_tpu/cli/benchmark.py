@@ -36,7 +36,11 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--db_size", type=int, default=4096)
     ap.add_argument("--json", action="store_true")
+    from epcnet_tpu.utils.compile_cache import add_cli_arg, enable_compilation_cache
+
+    add_cli_arg(ap)
     args = ap.parse_args(argv)
+    enable_compilation_cache(args.compilation_cache_dir)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     rng = np.random.default_rng(0)

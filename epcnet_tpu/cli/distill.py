@@ -34,6 +34,7 @@ from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.train.state import create_train_state
 from epcnet_tpu.train.step import build_distill_step
 from epcnet_tpu.utils.logging import log_string
+from epcnet_tpu.utils.compile_cache import add_cli_arg, enable_compilation_cache
 
 
 def main(argv=None):
@@ -53,7 +54,9 @@ def main(argv=None):
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all available devices (DP)")
     ap.add_argument("--synthetic", action="store_true")
+    add_cli_arg(ap)
     args = ap.parse_args(argv)
+    enable_compilation_cache(args.compilation_cache_dir)
 
     maybe_initialize_distributed()  # multi-process pods; no-op single-process
 

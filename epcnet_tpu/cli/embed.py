@@ -38,6 +38,7 @@ from epcnet_tpu.configs import ExperimentConfig, apply_overrides
 from epcnet_tpu.train import create_train_state, build_embed_fn
 from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.utils.logging import log_string
+from epcnet_tpu.utils.compile_cache import add_cli_arg, enable_compilation_cache
 
 
 def load_cloud(path: str, dataset_root: str = "") -> np.ndarray:
@@ -72,7 +73,9 @@ def main(argv=None):
         help="points-sharded: bucket padded sizes to multiples of this "
              "(per device) so XLA compiles once per bucket",
     )
+    add_cli_arg(ap)
     args = ap.parse_args(argv)
+    enable_compilation_cache(args.compilation_cache_dir)
 
     cfg_path = args.config or os.path.join(args.log_dir, "config.json")
     cfg = (

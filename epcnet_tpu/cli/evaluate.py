@@ -27,6 +27,7 @@ from epcnet_tpu.parallel import make_multislice_mesh, maybe_initialize_distribut
 from epcnet_tpu.train import create_train_state, build_embed_fn
 from epcnet_tpu.train.checkpoint import CheckpointManager
 from epcnet_tpu.utils.logging import log_string
+from epcnet_tpu.utils.compile_cache import add_cli_arg, enable_compilation_cache
 
 
 def main(argv=None):
@@ -45,7 +46,9 @@ def main(argv=None):
                     "serving capacity format) to quantify its recall cost")
     ap.add_argument("--latency_probe", action="store_true")
     ap.add_argument("--output", default=None, help="default <log_dir>/results.txt")
+    add_cli_arg(ap)
     args = ap.parse_args(argv)
+    enable_compilation_cache(args.compilation_cache_dir)
     if bool(args.database_pickle) != bool(args.query_pickle):
         ap.error("--database_pickle and --query_pickle must be given together")
 

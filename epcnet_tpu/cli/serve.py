@@ -8,7 +8,13 @@ micro-batched into shared MXU dispatches.
 
   python -m epcnet_tpu.cli.serve --log_dir log [--host 127.0.0.1]
       [--port 8476] [--k 25] [--max_wait_ms 2] [--db saved_index.npz]
-      [--mesh] [--save_on_exit saved_index.npz]
+      [--mesh] [--save_on_exit saved_index.npz] [--warmup_points 0|N]
+      [--compilation_cache_dir D]
+
+Startup pre-compiles the embed+query programs on zeros (``--warmup_points``,
+default the run's ``data.num_points``) BEFORE binding the port, so the first
+client request never pays the XLA compile; with ``--compilation_cache_dir``
+the compiled programs persist, making redeploy warmup a disk read.
 
 JSON API (``Content-Type: application/json``):
 
@@ -33,14 +39,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import signal
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 from epcnet_tpu.serve import PlaceIndex, QueryScheduler
 from epcnet_tpu.utils.logging import log_string
+from epcnet_tpu.utils.compile_cache import add_cli_arg, enable_compilation_cache
 
 
 def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
@@ -167,11 +176,18 @@ def main(argv=None):
                     help="devices on the retrieval 'db' axis (0 = all "
                     "devices of one slice — serving has no data-parallel "
                     "training axis, and the db axis must stay intra-slice)")
+    ap.add_argument("--warmup_points", type=int, default=-1,
+                    help="pre-compile the embed+query programs on zeros at "
+                    "this many points per submap BEFORE binding the port, so "
+                    "the first request never pays the XLA compile; -1 = the "
+                    "run's data.num_points (config.json), 0 = skip warmup")
     ap.add_argument("--quantize", default="none", choices=("none", "int8"),
                     help="device DB format: int8 stores descriptors "
                     "quantized per-row (4x less HBM per row, ~4e-4 max "
                     "dequantization error; host DB/save stay fp32)")
+    add_cli_arg(ap)
     args = ap.parse_args(argv)
+    enable_compilation_cache(args.compilation_cache_dir)
 
     from epcnet_tpu.parallel import maybe_initialize_distributed
 
@@ -196,6 +212,25 @@ def main(argv=None):
     if args.db:
         index.load_db(args.db)
         log_string(f"loaded {len(index)} descriptors from {args.db}")
+
+    warmup_points = args.warmup_points
+    if warmup_points < 0:
+        from epcnet_tpu.configs import ExperimentConfig
+
+        cfg_path = os.path.join(args.log_dir, "config.json")
+        cfg = (
+            ExperimentConfig.from_json(open(cfg_path).read())
+            if os.path.isfile(cfg_path)
+            else ExperimentConfig()
+        )
+        warmup_points = cfg.data.num_points
+    if warmup_points:
+        t0 = time.perf_counter()
+        index.warmup(warmup_points)
+        log_string(
+            f"warmup: embed+query programs compiled in "
+            f"{time.perf_counter() - t0:.1f} s (num_points={warmup_points})"
+        )
 
     srv, sched = make_server(index, args.host, args.port, args.k, args.max_wait_ms)
 

@@ -26,6 +26,7 @@ from epcnet_tpu.parallel import (
 from epcnet_tpu.train import Trainer
 from epcnet_tpu.utils.logging import log_string
 from epcnet_tpu.utils.profiling import maybe_start_trace
+from epcnet_tpu.utils.compile_cache import add_cli_arg, enable_compilation_cache
 
 
 def main(argv=None):
@@ -49,7 +50,9 @@ def main(argv=None):
         "retain the BEST checkpoint in <log_dir>/ckpt_best (SURVEY.md §5.3 "
         "best-recall retention); 0 = off",
     )
+    add_cli_arg(ap)
     args = ap.parse_args(argv)
+    enable_compilation_cache(args.compilation_cache_dir)
 
     # Multi-process (multi-host/slice) bootstrap; no-op single-process.
     # Configured via EPCNET_COORDINATOR_ADDRESS / _NUM_PROCESSES / _PROCESS_ID.

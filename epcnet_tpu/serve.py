@@ -371,6 +371,69 @@ class PlaceIndex:
         self._dev_rows = n
         self._counters["dev_syncs"] += 1
 
+    def warmup(self, num_points: int) -> None:
+        """Pre-compile the serving programs before traffic arrives.
+
+        Without this the FIRST request after a (re)deploy pays the full XLA
+        compile of the fused embed+retrieve program (tens of seconds for the
+        paper-scale model) inside its latency budget. Warmup runs each
+        program once on zeros at the exact shapes serving uses: the embed
+        program (``/embed``, ``add``) and the query program at the capacity
+        the first query will see — the real synced DB if rows exist, else a
+        dummy far-padded first capacity block (``block_rows``), which is the
+        same compiled shape the first post-add query hits, WITHOUT touching
+        index state or metrics. Pairs with ``enable_compilation_cache``:
+        warmup populates the persistent cache, so later redeploys warm from
+        disk in seconds.
+        """
+        if self._embed is not None:
+            pts = jnp.zeros((self.embed_batch, num_points, 3), jnp.float32)
+            np.asarray(self._embed(self._params, self._stats, pts))
+        quant = self.quantize == "int8"
+        with self._lock:
+            if len(self._db) > 0:
+                self._sync_dev_db()
+                dbj, scj = self._dev_db, self._dev_scale
+            else:
+                dbj = scj = None
+        if dbj is None:
+            # empty index: compile against a dummy first capacity block —
+            # identical shapes (and far-pad values) to _sync_dev_db's
+            cap = self.block_rows
+            if quant:
+                dbj = jnp.full((cap, self.dim), 127, jnp.int8)
+                scj = jnp.full((cap, 1), 1e6, jnp.float32)
+            else:
+                dbj = jnp.full((cap, self.dim), 1e6, jnp.float32)
+            if self._db_sharding is not None:
+                dbj = jax.device_put(dbj, self._db_sharding)
+                if quant:
+                    scj = jax.device_put(scj, self._db_sharding)
+        k_fused = min(self.max_k, int(dbj.shape[0]))
+        if self._use_sharded or self._embed is None:
+            # two-step path: query_descriptors on a padded zero batch
+            q = jnp.zeros((self.embed_batch, self.dim), jnp.float32)
+            if self._use_sharded:
+                idx, _ = sharded_topk_neighbors(
+                    q, dbj, k_fused, self.mesh,
+                    db_scale=scj if quant else None,
+                )
+            elif quant:
+                idx, _ = topk_neighbors_quantized(q, dbj, scj, k_fused)
+            else:
+                idx, _ = topk_neighbors(q, dbj, k_fused)
+        else:
+            pts = jnp.zeros((self.embed_batch, num_points, 3), jnp.float32)
+            if quant:
+                idx, _ = self._fused_q(
+                    self._params, self._stats, pts, dbj, scj, k=k_fused
+                )
+            else:
+                idx, _ = self._fused_f(
+                    self._params, self._stats, pts, dbj, k=k_fused
+                )
+        np.asarray(idx)  # block until the compile + run completes
+
     def metrics(self) -> dict:
         """Operational gauges + counters for monitoring (GET /metrics)."""
         with self._lock:

@@ -20,9 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from epcnet_tpu.utils.compile_cache import enable_compilation_cache
 from epcnet_tpu.configs import ModelConfig
+
 from epcnet_tpu.models import get_model
 from epcnet_tpu.utils.timing import device_sync
+
+enable_compilation_cache()  # $EPCNET_COMPILATION_CACHE_DIR, scripts/README.md
 
 
 def measure(n: int, b: int, fmt: str, c_lo: int = 1, c_hi: int = 3,

@@ -13,11 +13,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from epcnet_tpu.utils.compile_cache import enable_compilation_cache
 from epcnet_tpu.configs import DataConfig, EvalConfig, ModelConfig, TrainConfig
+
 from epcnet_tpu.data.tuples import load_pickle
 from epcnet_tpu.evals.recall import evaluate_region
 from epcnet_tpu.train import create_train_state
 from epcnet_tpu.train.step import build_embed_fn
+
+enable_compilation_cache()  # $EPCNET_COMPILATION_CACHE_DIR, scripts/README.md
 
 HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
 

@@ -24,9 +24,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from epcnet_tpu.utils.compile_cache import enable_compilation_cache
 from epcnet_tpu.data.pointclouds import load_pc_file
+
 from epcnet_tpu.data.tuples import load_pickle
 from epcnet_tpu.serve import PlaceIndex, QueryScheduler
+
+enable_compilation_cache()  # $EPCNET_COMPILATION_CACHE_DIR, scripts/README.md
 
 HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
 _ap = argparse.ArgumentParser()

@@ -35,9 +35,13 @@ import jax
 if os.environ.get("EPCNET_CAP_CPU"):  # CI smoke of the ladder machinery
     jax.config.update("jax_platforms", "cpu")
 
+from epcnet_tpu.utils.compile_cache import enable_compilation_cache
 from epcnet_tpu.configs import ModelConfig, TrainConfig
+
 from epcnet_tpu.train.state import create_train_state
 from epcnet_tpu.train.step import build_train_step
+
+enable_compilation_cache()  # $EPCNET_COMPILATION_CACHE_DIR, scripts/README.md
 
 N = int(os.environ.get("EPCNET_CAP_N", 4096))
 POS, NEG = 2, 18

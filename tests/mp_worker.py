@@ -227,6 +227,11 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
+    # same env-driven wiring as the CLIs: a shared persistent compile cache
+    # across the cluster's processes (no-op unless the parent test sets it)
+    from epcnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     jax.distributed.initialize(
         f"127.0.0.1:{args.port}",
         num_processes=args.nprocs,

@@ -55,7 +55,8 @@ def mp_dataset(tmp_path_factory):
     return workdir
 
 
-def _spawn(nprocs: int, scenario: str, workdir: str, tag: str, *extra):
+def _spawn(nprocs: int, scenario: str, workdir: str, tag: str, *extra,
+           env_extra: dict | None = None):
     port = _free_port()
     procs = []
     for pid in range(nprocs):
@@ -66,7 +67,7 @@ def _spawn(nprocs: int, scenario: str, workdir: str, tag: str, *extra):
         ]
         log_path = os.path.join(workdir, f"worker_{tag}_{pid}.log")
         log = open(log_path, "w")
-        env = {**os.environ, "PYTHONPATH": _REPO_ROOT}
+        env = {**os.environ, "PYTHONPATH": _REPO_ROOT, **(env_extra or {})}
         procs.append(
             (
                 subprocess.Popen(
@@ -104,8 +105,11 @@ def _join(procs, workdir: str, tag: str, timeout: float = _LAUNCH_TIMEOUT):
     return results
 
 
-def _run_cluster(nprocs, scenario, workdir, tag, *extra):
-    return _join(_spawn(nprocs, scenario, workdir, tag, *extra), workdir, tag)
+def _run_cluster(nprocs, scenario, workdir, tag, *extra, env_extra=None):
+    return _join(
+        _spawn(nprocs, scenario, workdir, tag, *extra, env_extra=env_extra),
+        workdir, tag,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -115,10 +119,19 @@ def test_multiprocess_train_checkpoint_roundtrip(mp_dataset, nprocs):
     mining sweep allgather, every process saving Orbax checkpoints, and a
     fresh-template restore returning identical params in every process."""
     tag = f"train{nprocs}"
+    # all processes of the cluster share ONE persistent compile-cache dir —
+    # the pod deployment pattern (entries are content-addressed; README
+    # "Compile-once deployments"); min-secs 0 so tiny CPU compiles persist
+    cache_dir = os.path.join(mp_dataset, f"xla_cache_{tag}")
     results = _run_cluster(
         nprocs, "train", mp_dataset, tag,
         "--log_subdir", f"log_{tag}", "--max_epoch", "2", "--mining_start", "1",
+        env_extra={
+            "EPCNET_COMPILATION_CACHE_DIR": cache_dir,
+            "EPCNET_COMPILATION_CACHE_MIN_SECS": "0",
+        },
     )
+    assert os.listdir(cache_dir), "no shared compile-cache entries persisted"
     assert len(results) == nprocs
     for r in results:
         assert r["process_count"] == nprocs

@@ -667,3 +667,144 @@ def test_fused_query_matches_two_step(tiny_model_cfg, rng):
         # oversized batch falls back to embed-then-retrieve
         ids_big, _ = ix.query(pts, k=1)
         np.testing.assert_array_equal(ids_big.ravel(), np.arange(10))
+
+
+def test_warmup_empty_index_then_serve(tiny_model_cfg, rng):
+    """warmup() on a fresh (empty) index compiles the serving programs
+    without touching index state; the first add+query after it is exact."""
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    idx = PlaceIndex(embed, state.params, state.batch_stats,
+                     descriptor_dim=tiny_model_cfg.output_dim,
+                     embed_batch=4, block_rows=64)
+    idx.warmup(128)
+    assert len(idx) == 0
+    m = idx.metrics()
+    assert m["queries"] == 0 and m["dev_syncs"] == 0  # state untouched
+    pts = rng.uniform(-1, 1, (5, 128, 3)).astype(np.float32)
+    idx.add(pts)
+    ids, dists = idx.query(pts[:2], k=1)
+    np.testing.assert_array_equal(ids[:, 0], [0, 1])
+    assert dists.max() < 1e-4
+
+
+@pytest.mark.parametrize("quantize", ["none", "int8"])
+def test_warmup_populated_index_unchanged_results(tiny_model_cfg, rng, quantize):
+    """warmup() on a populated index syncs the device DB and leaves query
+    results bit-identical to an unwarmed twin."""
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    kw = dict(descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4,
+              block_rows=64, quantize=quantize)
+    warm = PlaceIndex(embed, state.params, state.batch_stats, **kw)
+    cold = PlaceIndex(embed, state.params, state.batch_stats, **kw)
+    pts = rng.uniform(-1, 1, (9, 128, 3)).astype(np.float32)
+    warm.add(pts)
+    cold.add(pts)
+    warm.warmup(128)
+    q = rng.uniform(-1, 1, (3, 128, 3)).astype(np.float32)
+    iw, dw = warm.query(q, k=3)
+    ic, dc = cold.query(q, k=3)
+    np.testing.assert_array_equal(iw, ic)
+    np.testing.assert_array_equal(dw, dc)
+
+
+def test_serve_cli_subprocess_warmup_and_drain(tmp_path):
+    """The REAL serve CLI end-to-end in a subprocess: train a tiny
+    checkpoint, launch ``python -m epcnet_tpu.cli.serve`` (exercising the
+    startup warmup + compile-cache wiring main() adds around make_server),
+    drive /healthz -> /add -> /query over HTTP, then SIGTERM and assert the
+    drain + --save_on_exit persistence ran."""
+    import json as _json
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    from epcnet_tpu.cli.train import main as train_main
+
+    ds = str(tmp_path / "ds")
+    log_dir = str(tmp_path / "log")
+    sets = [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4", "model.vlad_groups=2",
+        "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3", "data.num_positives=1",
+        "train.max_epoch=1", "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+    ]
+    args = ["--dataset_root", ds, "--log_dir", log_dir, "--synthetic"]
+    for s in sets:
+        args += ["--set", s]
+    train_main(args)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    saved = str(tmp_path / "saved_index.npz")
+    cache = str(tmp_path / "xla_cache")
+    env = {**os.environ, "EPCNET_COMPILATION_CACHE_MIN_SECS": "0"}
+    srv_log = open(str(tmp_path / "serve.log"), "w")
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var in this image
+    # (conftest.py) — the subprocess must force CPU via jax.config in-code
+    launcher = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from epcnet_tpu.cli.serve import main; main(sys.argv[1:])"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", launcher,
+         "--log_dir", log_dir, "--port", str(port), "--embed_batch", "4",
+         "--k", "3", "--save_on_exit", saved,
+         "--compilation_cache_dir", cache],
+        stdout=srv_log, stderr=subprocess.STDOUT, env=env,
+    )
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            return _json.load(urllib.request.urlopen(req, timeout=30))
+
+        # the port only binds AFTER warmup completes — poll /healthz
+        deadline = time.time() + 300
+        health = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "serve CLI died: " + open(str(tmp_path / "serve.log")).read()[-2000:]
+                )
+            try:
+                health = _json.load(
+                    urllib.request.urlopen(base + "/healthz", timeout=5)
+                )
+                break
+            except OSError:
+                time.sleep(1.0)
+        assert health is not None and health["ok"], "server never came up"
+        assert os.listdir(cache), "warmup persisted no compile-cache entries"
+
+        pts = np.random.default_rng(0).uniform(-1, 1, (3, 128, 3))
+        r = post("/add", {"points": pts.tolist(),
+                          "metadata": ["a", "b", "c"]})
+        assert r["size"] == 3
+        q = post("/query", {"points": pts[1].tolist(), "k": 1})
+        assert q["ids"][0] == 1 and q["metadata"] == ["b"]
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+        srv_log.close()
+    assert rc == 0, open(str(tmp_path / "serve.log")).read()[-2000:]
+    log_txt = open(str(tmp_path / "serve.log")).read()
+    assert "warmup: embed+query programs compiled" in log_txt
+    data = np.load(saved, allow_pickle=True)
+    # --save_on_exit drained + persisted (dim = the run's model.output_dim)
+    assert data["db"].shape == (3, 256)

@@ -312,19 +312,23 @@ def test_remat_step_matches_baseline_exactly(rng, tiny_model_cfg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
-def test_grad_accum_duplicated_halves_match_full_batch_loss(rng, tiny_model_cfg):
+def test_grad_accum_duplicated_halves_match_full_batch_loss(tiny_model_cfg):
     """With the two halves of the batch IDENTICAL, per-micro BatchNorm
     statistics equal the full-batch statistics, so the accumulated forward
     (loss + aux) must reproduce accum=1 up to bf16 reduction-order noise
     (tiny_model_cfg computes in bfloat16, and a [2B,...] matmul tiles
-    differently from two [B,...] ones — observed drift ~3e-5). Parameter
-    updates are NOT compared here: gradients of bias leaves feeding
-    BatchNorm/softmax are analytically zero, so their numeric value is pure
-    cancellation noise that differs with reduction order — the accumulation
-    ARITHMETIC is pinned exactly (fp32, no model) by
-    test_accum_value_and_grad_matches_explicit_loop instead."""
+    differently from two [B,...] ones). The tolerance is sized to bf16
+    single-op relative precision (2^-8 ≈ 3.9e-3): drift up to ~6e-4 was
+    observed across batch draws, so a tighter bound just encodes one lucky
+    draw. Data comes from a LOCAL seeded rng — the session rng fixture's
+    state depends on which tests ran before, which made this flaky under
+    full-suite ordering. Parameter updates are NOT compared here: gradients
+    of bias leaves feeding BatchNorm/softmax are analytically zero, so
+    their numeric value is pure cancellation noise that differs with
+    reduction order — the accumulation ARITHMETIC is pinned exactly (fp32,
+    no model) by test_accum_value_and_grad_matches_explicit_loop instead."""
     mcfg = tiny_model_cfg
-    half = _fixed_batch(rng, b=1)
+    half = _fixed_batch(np.random.RandomState(1234), b=1)
     batch = {k: jnp.concatenate([v, v], axis=0) for k, v in half.items()}
     outs = {}
     for accum in (1, 2):
@@ -334,7 +338,7 @@ def test_grad_accum_duplicated_halves_match_full_batch_loss(rng, tiny_model_cfg)
         outs[accum] = m
     for key in ("loss", "best_pos_dist", "min_neg_dist"):
         np.testing.assert_allclose(
-            float(outs[2][key]), float(outs[1][key]), rtol=3e-4
+            float(outs[2][key]), float(outs[1][key]), rtol=2e-3
         )
 
 

@@ -72,3 +72,34 @@ def test_metrics_logger_tensorboard(tmp_path):
 
                 seen[ev.step] = float(make_ndarray(t)) if t.dtype else v.simple_value
     assert seen.get(3) == 1.25 and seen.get(7) == 0.5
+
+
+def test_compilation_cache_explicit_dir(tmp_path):
+    """enable_compilation_cache writes persisted executables under the dir."""
+    from epcnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    d = str(tmp_path / "cc")
+    try:
+        assert enable_compilation_cache(d, min_compile_time_secs=0.0) == d
+        f = jax.jit(lambda x: (x @ x.T) * 3 + 1)
+        f(jnp.ones((16, 16), jnp.float32)).block_until_ready()
+        assert os.listdir(d), "no cache entries persisted"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_compilation_cache_env_and_off(tmp_path, monkeypatch):
+    from epcnet_tpu.utils import compile_cache
+
+    monkeypatch.delenv(compile_cache.ENV_VAR, raising=False)
+    assert compile_cache.enable_compilation_cache(None) is None  # off: no-op
+
+    envdir = str(tmp_path / "envcc")
+    monkeypatch.setenv(compile_cache.ENV_VAR, envdir)
+    try:
+        assert compile_cache.enable_compilation_cache(None) == envdir
+        assert os.path.isdir(envdir)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
