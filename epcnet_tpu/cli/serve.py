@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import signal
 import threading
 import time
@@ -213,17 +212,8 @@ def main(argv=None):
         index.load_db(args.db)
         log_string(f"loaded {len(index)} descriptors from {args.db}")
 
-    warmup_points = args.warmup_points
-    if warmup_points < 0:
-        from epcnet_tpu.configs import ExperimentConfig
-
-        cfg_path = os.path.join(args.log_dir, "config.json")
-        cfg = (
-            ExperimentConfig.from_json(open(cfg_path).read())
-            if os.path.isfile(cfg_path)
-            else ExperimentConfig()
-        )
-        warmup_points = cfg.data.num_points
+    # -1 = the run's data.num_points (from_checkpoint stashed it on the index)
+    warmup_points = args.warmup_points if args.warmup_points >= 0 else index.num_points
     if warmup_points:
         t0 = time.perf_counter()
         index.warmup(warmup_points)

@@ -82,9 +82,13 @@ class PlaceIndex:
         mesh=None,
         quantize: str = "none",
         max_k: int = 25,
+        num_points: int | None = None,
     ):
         if quantize not in ("none", "int8"):
             raise ValueError(f"quantize={quantize!r} not in {{'none', 'int8'}}")
+        # submap size the embed program expects (warmup's default shape);
+        # from_checkpoint fills it from the run's data config
+        self.num_points = num_points
         # max_k bounds the FUSED path's static top-k (see query): the fused
         # program always retrieves max_k rows and the per-request k trims on
         # host, so the model+retrieve program compiles once per DB-capacity
@@ -204,6 +208,7 @@ class PlaceIndex:
             mesh=mesh,
             quantize=quantize,
             max_k=max_k,
+            num_points=cfg.data.num_points,
         )
 
     # ------------------------------------------------------------------
@@ -293,7 +298,7 @@ class PlaceIndex:
             return self._dev_db, self._dev_scale, kk
 
     def query_descriptors(self, desc: np.ndarray, k: int = 25):
-        dbj, scj, k = self._snapshot_db(desc.shape[0], k)
+        dbj, scj, kk = self._snapshot_db(desc.shape[0], k)
         # Pad the query batch up to an embed_batch multiple: QueryScheduler
         # micro-batches are variable-sized (1..max_batch), and an unpadded
         # retrieval would compile one program per distinct size — measured as
@@ -302,16 +307,31 @@ class PlaceIndex:
         # set to multiples of embed_batch, same policy as embed().
         n = desc.shape[0]
         q = jnp.asarray(_pad_rows(desc.astype(np.float32), self.embed_batch))
+        # STATIC program top-k, capacity-keyed — same policy as the fused
+        # path: for requests within max_k the compiled program retrieves
+        # min(max_k, capacity) rows regardless of len(db) (the far-padded
+        # capacity tail guarantees the first len(db) >= kk results are
+        # real), and the per-request kk trims on host. Without this, every
+        # query while len(db) < k compiled a fresh program (kk = 1, 2, ...)
+        # — a cold-start compile inside a client's latency budget that
+        # warmup() could never cover. k > max_k falls back to a per-k
+        # compile (documented escape hatch, same as the fused path).
+        k_prog = min(self.max_k, int(dbj.shape[0])) if k <= self.max_k else kk
+        idx, dist = self._retrieve(q, dbj, scj, k_prog)
+        return np.asarray(idx)[:n, :kk], np.asarray(dist)[:n, :kk]
+
+    def _retrieve(self, q, dbj, scj, k_prog: int):
+        """One dispatch point for descriptor-space retrieval (sharded vs
+        int8 vs plain) — shared by query_descriptors and warmup so the
+        warmed program is BY CONSTRUCTION the one queries run."""
         if self._use_sharded:
-            idx, dist = sharded_topk_neighbors(
-                q, dbj, k, self.mesh,
+            return sharded_topk_neighbors(
+                q, dbj, k_prog, self.mesh,
                 db_scale=scj if self.quantize == "int8" else None,
             )
-        elif self.quantize == "int8":
-            idx, dist = topk_neighbors_quantized(q, dbj, scj, k)
-        else:
-            idx, dist = topk_neighbors(q, dbj, k)
-        return np.asarray(idx)[:n], np.asarray(dist)[:n]
+        if self.quantize == "int8":
+            return topk_neighbors_quantized(q, dbj, scj, k_prog)
+        return topk_neighbors(q, dbj, k_prog)
 
     def _sync_dev_db(self) -> None:
         """Bring the device DB up to date with the host DB (call under the
@@ -371,7 +391,7 @@ class PlaceIndex:
         self._dev_rows = n
         self._counters["dev_syncs"] += 1
 
-    def warmup(self, num_points: int) -> None:
+    def warmup(self, num_points: int | None = None) -> None:
         """Pre-compile the serving programs before traffic arrives.
 
         Without this the FIRST request after a (re)deploy pays the full XLA
@@ -385,7 +405,16 @@ class PlaceIndex:
         index state or metrics. Pairs with ``enable_compilation_cache``:
         warmup populates the persistent cache, so later redeploys warm from
         disk in seconds.
+
+        ``num_points`` defaults to the value the index was constructed with
+        (from_checkpoint fills it from the run's data config).
         """
+        num_points = num_points or self.num_points
+        if num_points is None and self._embed is not None:
+            raise ValueError(
+                "warmup needs num_points (pass it, or construct the index "
+                "with num_points=...)"
+            )
         if self._embed is not None:
             pts = jnp.zeros((self.embed_batch, num_points, 3), jnp.float32)
             np.asarray(self._embed(self._params, self._stats, pts))
@@ -411,17 +440,10 @@ class PlaceIndex:
                     scj = jax.device_put(scj, self._db_sharding)
         k_fused = min(self.max_k, int(dbj.shape[0]))
         if self._use_sharded or self._embed is None:
-            # two-step path: query_descriptors on a padded zero batch
+            # two-step path, through the SAME dispatcher queries use
+            # (query_descriptors compiles at the same capacity-keyed k)
             q = jnp.zeros((self.embed_batch, self.dim), jnp.float32)
-            if self._use_sharded:
-                idx, _ = sharded_topk_neighbors(
-                    q, dbj, k_fused, self.mesh,
-                    db_scale=scj if quant else None,
-                )
-            elif quant:
-                idx, _ = topk_neighbors_quantized(q, dbj, scj, k_fused)
-            else:
-                idx, _ = topk_neighbors(q, dbj, k_fused)
+            idx, _ = self._retrieve(q, dbj, scj, k_fused)
         else:
             pts = jnp.zeros((self.embed_batch, num_points, 3), jnp.float32)
             if quant:

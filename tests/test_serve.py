@@ -800,11 +800,67 @@ def test_serve_cli_subprocess_warmup_and_drain(tmp_path):
         assert q["ids"][0] == 1 and q["metadata"] == ["b"]
     finally:
         proc.send_signal(signal.SIGTERM)
-        rc = proc.wait(timeout=120)
-        srv_log.close()
+        try:
+            rc = proc.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            proc.kill()  # don't leak a live server into the rest of the run
+            proc.wait(timeout=30)
+            raise
+        finally:
+            srv_log.close()
     assert rc == 0, open(str(tmp_path / "serve.log")).read()[-2000:]
     log_txt = open(str(tmp_path / "serve.log")).read()
     assert "warmup: embed+query programs compiled" in log_txt
     data = np.load(saved, allow_pickle=True)
     # --save_on_exit drained + persisted (dim = the run's model.output_dim)
     assert data["db"].shape == (3, 256)
+
+
+@pytest.mark.parametrize("variant", ["plain", "int8", "sharded"])
+def test_query_smaller_db_than_k_capacity_keyed(rng, tiny_model_cfg, mesh8,
+                                                variant):
+    """With len(db) < k the program's static top-k is capacity-keyed
+    (min(max_k, capacity), host-trimmed to len(db)) on EVERY dispatch path
+    — queries against a growing index must not compile one program per
+    DB size, and the trimmed results stay exact (the far-padded capacity
+    tail never leaks into the first len(db) rows)."""
+    kw = dict(descriptor_dim=32, embed_batch=4, block_rows=64)
+    if variant == "int8":
+        kw["quantize"] = "int8"
+    if variant == "sharded":
+        kw["mesh"] = mesh8
+    idx = PlaceIndex(None, None, None, **kw)
+    desc = _unit_rows(rng, 3)
+    idx.add_descriptors(desc)
+    ids, dists = idx.query_descriptors(desc, k=25)
+    assert ids.shape == (3, 3) and dists.shape == (3, 3)
+    np.testing.assert_array_equal(ids[:, 0], [0, 1, 2])  # self nearest
+    d = ((desc[:, None] - desc[None]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1, kind="stable")
+    np.testing.assert_array_equal(ids, order)
+    # int8: distances carry the dequantization error (~4e-4/coordinate,
+    # a few e-3 on O(1) unit-descriptor distances — ops/retrieval.py bound)
+    atol = 5e-3 if variant == "int8" else 1e-5
+    np.testing.assert_allclose(
+        dists, np.take_along_axis(d, order, 1), atol=atol,
+        rtol=5e-3 if variant == "int8" else 1e-6,
+    )
+
+
+def test_warmup_sharded_empty_then_query(rng, tiny_model_cfg, mesh8):
+    """warmup() on an EMPTY mesh-sharded int8 index compiles the same
+    capacity-keyed program the first post-add query runs (VERDICT-style
+    cold-start coverage for the pod-serving config)."""
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    idx = PlaceIndex(embed, state.params, state.batch_stats,
+                     descriptor_dim=tiny_model_cfg.output_dim, embed_batch=4,
+                     block_rows=64, quantize="int8", mesh=mesh8)
+    idx.warmup(128)
+    assert len(idx) == 0
+    pts = rng.uniform(-1, 1, (5, 128, 3)).astype(np.float32)
+    idx.add(pts)
+    ids, dists = idx.query(pts[:2], k=1)
+    np.testing.assert_array_equal(ids[:, 0], [0, 1])
+    assert dists.max() < 2e-3  # int8 dequantization tolerance
