@@ -1,0 +1,171 @@
+"""Hardware-recovery queue runner: execute the queued TPU protocol steps
+serially, with tunnel discipline, the moment the tunnel is back.
+
+Context (CLAUDE.md): the round-3 TPU tunnel outage left a queue of
+hardware-evidence steps. Running them by hand risks violating the tunnel
+rules (ONE jax process at a time, never kill mid-compile, log to files).
+This runner encodes the discipline:
+
+- a bounded health probe FIRST (the only step allowed a timeout — a probe
+  hung in backend init is not compiling, so terminating it is safe);
+- each protocol step runs as ONE subprocess with NO timeout (a SIGTERM
+  mid-compile wedges the tunnel for minutes — operator ctrl-C only),
+  stdout+stderr to ``$HW/logs/<step>.log``;
+- strict serial order; a failed step records rc and CONTINUES to later
+  steps (they are independent measurements) unless --stop_on_fail;
+- ``$HW/logs/queue_status.json`` is rewritten after every step, so a
+  parallel session can watch progress without touching the TPU;
+- the shared persistent compile cache ($HW/xla_cache) is exported to every
+  child, so reruns of any step skip its compiles.
+
+Usage:
+  python -u scripts/hw_queue.py [--dry_run] [--steps capacity,serve_load]
+      [--skip_probe]
+
+Steps (CLAUDE.md "HARDWARE QUEUE on recovery"):
+  probe          tiny matmul through the tunnel (timeout 300 s, gates all)
+  capacity       scripts/hw_train_capacity.py (remat/accum ladder)
+  serve_load     scripts/hw_serve_load.py (fp32 device DB)
+  serve_load_q8  scripts/hw_serve_load.py --quantize int8
+  eval_q8        evaluate --quantize int8 (protocol step 3b)
+  memlever_cli   tiny synthetic train with remat=true grad_accum_steps=2
+                 (TPU-side CLI verify of the memory levers)
+  bench          bench.py sanity (the driver's headline JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
+PY = sys.executable
+
+
+def build_steps() -> list[tuple[str, list[str]]]:
+    memlever_ds = os.path.join(tempfile.gettempdir(), "hwq_memlever")
+    tiny = []
+    for kv in [
+        "model.num_points=128", "model.knn_k=6", "model.use_pallas=false",
+        "model.proxyconv_channels=8,8", "model.lift_channels=16,32",
+        "model.feature_dim=32", "model.vlad_clusters=4",
+        "model.vlad_groups=2", "model.vlad_group_dim=8",
+        "data.num_points=128", "data.num_negatives=3",
+        "data.num_positives=1", "train.max_epoch=1",
+        "train.mining_start_epoch=99",
+        "train.checkpoint_every_steps=1000000",
+        # the queued verify target: both memory levers through the CLI
+        "train.remat=true", "train.grad_accum_steps=2",
+    ]:
+        tiny += ["--set", kv]
+    return [
+        ("capacity", [PY, "-u", os.path.join(REPO, "scripts/hw_train_capacity.py")]),
+        ("serve_load", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py")]),
+        ("serve_load_q8", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py"),
+                           "--quantize", "int8"]),
+        ("eval_q8", [PY, "-u", "-m", "epcnet_tpu.cli.evaluate",
+                     "--dataset_root", os.path.join(HW, "data"),
+                     "--log_dir", os.path.join(HW, "log"),
+                     "--quantize", "int8",
+                     "--output", os.path.join(HW, "log", "results_int8.txt")]),
+        ("memlever_cli", [PY, "-u", "-m", "epcnet_tpu.cli.train",
+                          "--dataset_root", memlever_ds,
+                          "--log_dir", os.path.join(memlever_ds, "log"),
+                          "--synthetic"] + tiny),
+        ("bench", [PY, "-u", os.path.join(REPO, "bench.py")]),
+    ]
+
+
+def probe(timeout_s: int) -> bool:
+    """Bounded tunnel-health gate. Safe to kill: backend init, no compile."""
+    code = ("import jax; d = jax.devices(); "
+            "assert d and d[0].platform != 'cpu', d; "
+            "import jax.numpy as jnp; "
+            "print('probe ok:', float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
+    try:
+        r = subprocess.run([PY, "-u", "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"probe HUNG >{timeout_s}s — tunnel still down", flush=True)
+        return False
+    ok = r.returncode == 0 and "probe ok" in r.stdout
+    print(("probe ok" if ok else
+           f"probe FAILED rc={r.returncode}: {r.stdout[-200:]} {r.stderr[-200:]}"),
+          flush=True)
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry_run", action="store_true")
+    ap.add_argument("--steps", default=None,
+                    help="comma-separated subset, in the canonical order")
+    ap.add_argument("--skip_probe", action="store_true")
+    ap.add_argument("--stop_on_fail", action="store_true")
+    ap.add_argument("--probe_timeout", type=int, default=300)
+    args = ap.parse_args()
+
+    steps = build_steps()
+    if args.steps:
+        want = args.steps.split(",")
+        unknown = set(want) - {n for n, _ in steps}
+        if unknown:
+            ap.error(f"unknown steps {sorted(unknown)}; "
+                     f"valid: {[n for n, _ in steps]}")
+        steps = [(n, c) for n, c in steps if n in want]
+
+    logs = os.path.join(HW, "logs")
+    os.makedirs(logs, exist_ok=True)
+    # NO PYTHONPATH: exporting PYTHONPATH=/root/repo breaks the axon TPU
+    # plugin registration ("Unable to initialize backend 'axon'" — memory
+    # axon-tpu-gotchas). Children run with cwd=REPO instead: `-m` resolves
+    # epcnet_tpu from cwd, and the scripts/ entries sys.path-insert the repo.
+    env = {**os.environ,
+           "EPCNET_HWBENCH": HW,
+           "EPCNET_COMPILATION_CACHE_DIR": os.path.join(HW, "xla_cache")}
+    env.pop("PYTHONPATH", None)
+
+    if args.dry_run:
+        for name, cmd in steps:
+            print(f"[{name}] {' '.join(cmd)} > {logs}/{name}.log")
+        return 0
+
+    if not args.skip_probe and not probe(args.probe_timeout):
+        return 2
+
+    status_path = os.path.join(logs, "queue_status.json")
+    status: dict = {"started": time.strftime("%F %T"), "steps": {}}
+    rc_all = 0
+    for name, cmd in steps:
+        log_path = os.path.join(logs, f"{name}.log")
+        print(f"[{name}] starting -> {log_path}", flush=True)
+        t0 = time.time()
+        with open(log_path, "w") as log:
+            # NO timeout: a mid-compile SIGTERM wedges the tunnel (CLAUDE.md)
+            rc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                env=env, cwd=REPO).returncode
+        wall = round(time.time() - t0, 1)
+        status["steps"][name] = {"rc": rc, "wall_s": wall, "log": log_path}
+        with open(status_path + ".tmp", "w") as f:
+            json.dump(status, f, indent=1)
+        os.replace(status_path + ".tmp", status_path)
+        print(f"[{name}] rc={rc} in {wall}s", flush=True)
+        if rc != 0:
+            rc_all = 1
+            if args.stop_on_fail:
+                break
+        # idle gap between TPU processes: the tunnel compile helper degrades
+        # under churn and recovers with rest (CLAUDE.md)
+        time.sleep(20)
+    print(f"queue done: {json.dumps(status['steps'])}", flush=True)
+    return rc_all
+
+
+if __name__ == "__main__":
+    sys.exit(main())
