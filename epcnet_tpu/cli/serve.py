@@ -104,9 +104,11 @@ def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
                 elif self.path == "/query":
                     pts = self._points(req, 2)  # [N, 3] one submap
                     k = int(req.get("k", default_k))
-                    if k > sched.k:
+                    if not 1 <= k <= sched.k:
+                        # k<1 would silently mis-slice (ids[:-1]); k>--k
+                        # would compile a new top-k program per value
                         return self._reply(400, {
-                            "error": f"k={k} exceeds the server's --k={sched.k}; "
+                            "error": f"k={k} outside [1, --k={sched.k}]; "
                             "raise --k or request fewer neighbours"
                         })
                     ids, dists = sched.submit(pts).result(timeout=60)
@@ -119,14 +121,13 @@ def _json_handler(index: PlaceIndex, sched: QueryScheduler, default_k: int):
                 elif self.path == "/query_batch":
                     pts = self._points(req, 3)  # [B, N, 3]
                     k = int(req.get("k", default_k))
-                    if k > sched.k:
-                        # same cap as /query: an uncapped per-request k
+                    if not 1 <= k <= sched.k:
+                        # same bounds as /query: an uncapped per-request k
                         # compiles a new top-k program per distinct value —
                         # a client k-sweep must not become a compile storm
                         return self._reply(400, {
-                            "error": f"k={k} exceeds the server's "
-                            f"--k={sched.k}; raise --k or request fewer "
-                            "neighbours"
+                            "error": f"k={k} outside [1, --k={sched.k}]; "
+                            "raise --k or request fewer neighbours"
                         })
                     ids, dists = index.query(pts, k)
                     self._reply(200, {"ids": ids.tolist(), "sqdists": dists.tolist()})

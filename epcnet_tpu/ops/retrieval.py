@@ -112,6 +112,49 @@ def topk_neighbors_quantized(
     return idx.astype(jnp.int32), -neg
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_fn(mesh: Mesh, axis: str, k: int, quantized: bool, ndev: int):
+    """Build (once per (mesh, axis, k, quantized)) the jitted shard_map
+    program for sharded retrieval. Hoisted out of sharded_topk_neighbors
+    and cached on FUNCTION IDENTITY: a fresh closure per call would defeat
+    JAX's callable-keyed dispatch caches, re-tracing the collective program
+    on every serving query — exactly the per-request overhead warmup() and
+    the capacity-keyed static k exist to eliminate."""
+
+    def local(q, db_shard, *scale_shard):
+        my = jax.lax.axis_index(axis)
+        rows = db_shard.shape[0]
+        if quantized:
+            # distances straight from (int8, scale) — no dequantized fp32
+            # shard transient (quantized_distance_matrix)
+            d = quantized_distance_matrix(q, db_shard, scale_shard[0])
+            neg, idx = jax.lax.top_k(-d, k)
+            idx, dist = idx.astype(jnp.int32), -neg
+        else:
+            idx, dist = topk_neighbors(q, db_shard, k)
+        gidx = idx + my * rows
+        # all-gather the candidate lists: [ndev, Q, k]
+        all_idx = jax.lax.all_gather(gidx, axis)
+        all_dist = jax.lax.all_gather(dist, axis)
+        qn = q.shape[0]
+        cat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(qn, ndev * k)
+        cat_dist = jnp.moveaxis(all_dist, 0, 1).reshape(qn, ndev * k)
+        neg, pos = jax.lax.top_k(-cat_dist, k)
+        merged_idx = jnp.take_along_axis(cat_idx, pos, axis=-1)
+        return merged_idx, -neg
+
+    in_specs = (P(), P(axis)) + ((P(axis),) if quantized else ())
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_topk_neighbors(
     queries: jnp.ndarray,
     database: jnp.ndarray,
@@ -146,36 +189,7 @@ def sharded_topk_neighbors(
     else:
         db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=1e6)
 
-    def local(q, db_shard, *scale_shard):
-        my = jax.lax.axis_index(axis)
-        rows = db_shard.shape[0]
-        if quantized:
-            # distances straight from (int8, scale) — no dequantized fp32
-            # shard transient (quantized_distance_matrix)
-            d = quantized_distance_matrix(q, db_shard, scale_shard[0])
-            neg, idx = jax.lax.top_k(-d, k)
-            idx, dist = idx.astype(jnp.int32), -neg
-        else:
-            idx, dist = topk_neighbors(q, db_shard, k)
-        gidx = idx + my * rows
-        # all-gather the candidate lists: [ndev, Q, k]
-        all_idx = jax.lax.all_gather(gidx, axis)
-        all_dist = jax.lax.all_gather(dist, axis)
-        qn = q.shape[0]
-        cat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(qn, ndev * k)
-        cat_dist = jnp.moveaxis(all_dist, 0, 1).reshape(qn, ndev * k)
-        neg, pos = jax.lax.top_k(-cat_dist, k)
-        merged_idx = jnp.take_along_axis(cat_idx, pos, axis=-1)
-        return merged_idx, -neg
-
-    in_specs = (P(), P(axis)) + ((P(axis),) if quantized else ())
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=in_specs,
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    fn = _sharded_topk_fn(mesh, axis, k, quantized, ndev)
     q = jax.device_put(queries, NamedSharding(mesh, P()))
     db = jax.device_put(db, NamedSharding(mesh, P(axis)))
     if quantized:
@@ -221,16 +235,26 @@ def ring_knn_points(
     xp = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, 0)),
                  constant_values=1e6)
 
-    fn = jax.shard_map(
-        lambda xs: ring_knn_local(xs, k, axis, ndev),
-        mesh=mesh,
-        in_specs=P(axis),
-        out_specs=(P(axis), P(axis)),
-        check_vma=False,
-    )
+    fn = _ring_knn_fn(mesh, axis, k, ndev)
     xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
     idx, dist = fn(xp)
     return idx[:n], dist[:n]
+
+
+@functools.lru_cache(maxsize=32)
+def _ring_knn_fn(mesh: Mesh, axis: str, k: int, ndev: int):
+    """Cached jitted shard_map for ring_knn_points (same rationale as
+    _sharded_topk_fn: stable callable identity -> dispatch-cache hits on the
+    repeated giant-submap embed path)."""
+    return jax.jit(
+        jax.shard_map(
+            lambda xs: ring_knn_local(xs, k, axis, ndev),
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
 
 
 def ring_knn_local(xs: jnp.ndarray, k: int, axis: str, ndev: int):
@@ -296,6 +320,16 @@ def ring_topk_neighbors(
     # every shard holds >= k rows (see sharded_topk_neighbors)
     shard = max(-(-n // ndev), k) * ndev
     db = jnp.pad(database, ((0, shard - n), (0, 0)), constant_values=1e6)
+    fn = _ring_topk_fn(mesh, axis, k, ndev)
+    q = jax.device_put(queries, NamedSharding(mesh, P()))
+    db = jax.device_put(db, NamedSharding(mesh, P(axis)))
+    return fn(q, db)
+
+
+@functools.lru_cache(maxsize=32)
+def _ring_topk_fn(mesh: Mesh, axis: str, k: int, ndev: int):
+    """Cached jitted shard_map for ring_topk_neighbors (stable callable
+    identity -> dispatch-cache hits; see _sharded_topk_fn)."""
 
     def local(q, db_shard):
         my = jax.lax.axis_index(axis)
@@ -315,13 +349,12 @@ def ring_topk_neighbors(
         c_idx, c_dist = jax.lax.fori_loop(0, ndev - 1, hop, (gidx, dist))
         return c_idx, c_dist
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     )
-    q = jax.device_put(queries, NamedSharding(mesh, P()))
-    db = jax.device_put(db, NamedSharding(mesh, P(axis)))
-    return fn(q, db)

@@ -40,7 +40,7 @@ import os
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Sequence
 
 import numpy as np
@@ -291,6 +291,9 @@ class PlaceIndex:
         with self._lock:
             if len(self._db) == 0:
                 raise ValueError("empty index")
+            if k < 1:
+                # a negative k would silently mis-slice the host trim
+                raise ValueError(f"k={k} must be >= 1")
             kk = min(k, len(self._db))
             self._sync_dev_db()
             self._counters["queries"] += 1
@@ -486,17 +489,52 @@ class PlaceIndex:
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with self._lock:
-            db, meta = self._db, np.array(self._meta, dtype=object)
-        np.savez_compressed(path, db=db, meta=meta)
+            db, meta = self._db, list(self._meta)
+        # 1-D object array ALWAYS: np.array(list_of_equal_length_sequences,
+        # dtype=object) silently builds a 2-D array, so reloaded metadata
+        # rows came back as np.ndarrays that json.dumps (the HTTP /query
+        # response) cannot serialize
+        meta_arr = np.empty(len(meta), dtype=object)
+        meta_arr[:] = meta
+        # write through a file object: savez_compressed appends ".npz" to a
+        # STRING path, breaking the save(p) -> load_db(p) round trip for
+        # extensionless paths
+        with open(path, "wb") as f:
+            np.savez_compressed(f, db=db, meta=meta_arr)
 
     def load_db(self, path: str) -> None:
+        if not os.path.isfile(path) and os.path.isfile(path + ".npz"):
+            path += ".npz"  # legacy saves went through a string path
         data = np.load(path, allow_pickle=True)
+        db = data["db"]
+        if db.ndim != 2 or db.shape[1] != self.dim:
+            # fail at load time with the real story, not on the first query
+            # deep inside a jitted distance program
+            raise ValueError(
+                f"{path}: db shape {db.shape} does not match this index's "
+                f"descriptor_dim={self.dim} (saved from a different model?)"
+            )
+        meta = data["meta"]
+        if meta.ndim > 1:  # legacy 2-D object saves: restore row entries
+            meta = [list(row) for row in meta]
         with self._lock:
-            self._db = data["db"]
-            self._meta = list(data["meta"])
+            self._db = db.astype(np.float32)
+            self._meta = list(meta)
             self._dev_db = None  # full reload: next query re-syncs from row 0
             self._dev_scale = None
             self._dev_rows = 0
+
+
+def _resolve_future(setter, value) -> None:
+    """Resolve a caller's Future without ever killing the worker thread: a
+    caller that cancelled (or a future somehow already resolved) raises
+    InvalidStateError from set_result/set_exception — the caller gave up on
+    the answer; the OTHER callers in the micro-batch must still get theirs
+    and the worker must keep serving."""
+    try:
+        setter(value)
+    except InvalidStateError:
+        pass
 
 
 class QueryScheduler:
@@ -528,6 +566,11 @@ class QueryScheduler:
         # reads need no lock.
         self._counters = {"requests": 0, "dispatches": 0, "errors": 0}
         self._recent_lat = collections.deque(maxlen=1024)
+        # guards _recent_lat: deque APPENDS are atomic, but metrics() must
+        # ITERATE (sorted), and any concurrent append invalidates a live
+        # deque iterator (RuntimeError) — a /metrics scrape under query load
+        # would intermittently 500
+        self._lat_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -570,17 +613,19 @@ class QueryScheduler:
                     ids, dists = self.index.query(pts, self.k)
                     done = time.perf_counter()
                     for i, (_, fut, t0) in enumerate(group):
-                        self._recent_lat.append(done - t0)
-                        fut.set_result((ids[i], dists[i]))
+                        with self._lat_lock:
+                            self._recent_lat.append(done - t0)
+                        _resolve_future(fut.set_result, (ids[i], dists[i]))
                 except Exception as e:  # propagate to this group's callers only
                     self._counters["errors"] += len(group)
                     for _, fut, _t0 in group:
-                        fut.set_exception(e)
+                        _resolve_future(fut.set_exception, e)
 
     def metrics(self) -> dict:
         """Counters + recent-window latency percentiles for monitoring."""
         c = dict(self._counters)
-        lat = sorted(self._recent_lat)
+        with self._lat_lock:
+            lat = sorted(self._recent_lat)
         if lat:
             c["latency_recent_n"] = len(lat)
             c["latency_p50_ms"] = lat[len(lat) // 2] * 1e3
@@ -592,3 +637,12 @@ class QueryScheduler:
     def stop(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5)
+        # drain: requests still queued (submitted before stop, or racing
+        # past the _stop check in submit) would otherwise hold futures that
+        # never resolve — their callers would block forever
+        while True:
+            try:
+                _, fut, _t0 = self._q.get_nowait()
+            except queue.Empty:
+                break
+            _resolve_future(fut.set_exception, RuntimeError("scheduler stopped"))

@@ -864,3 +864,94 @@ def test_warmup_sharded_empty_then_query(rng, tiny_model_cfg, mesh8):
     ids, dists = idx.query(pts[:2], k=1)
     np.testing.assert_array_equal(ids[:, 0], [0, 1])
     assert dists.max() < 2e-3  # int8 dequantization tolerance
+
+
+def test_save_load_sequence_metadata_roundtrip(rng, tiny_model_cfg, tmp_path):
+    """Equal-length sequence metadata (e.g. [x,y,z] poses) must survive
+    save/load as lists — np.array(..., dtype=object) used to build a 2-D
+    array whose reloaded rows were ndarrays json.dumps can't serialize."""
+    import json
+    idx = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4,
+                     block_rows=32)
+    desc = _unit_rows(rng, 4)
+    poses = [[1.0, 2.0, float(i)] for i in range(4)]
+    idx.add_descriptors(desc, metadata=poses)
+    p = str(tmp_path / "db_noext")  # extensionless: exact-path round trip
+    idx.save(p)
+    fresh = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4,
+                       block_rows=32)
+    fresh.load_db(p)
+    got = fresh.metadata([0, 3])
+    assert got == [poses[0], poses[3]]
+    json.dumps(got)  # the HTTP /query response path must serialize it
+
+
+def test_load_db_dim_mismatch_fails_fast(rng, tmp_path):
+    idx = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4)
+    idx.add_descriptors(_unit_rows(rng, 3))
+    p = str(tmp_path / "db32.npz")
+    idx.save(p)
+    other = PlaceIndex(None, None, None, descriptor_dim=64, embed_batch=4)
+    with pytest.raises(ValueError, match="descriptor_dim"):
+        other.load_db(p)
+
+
+def test_query_k_below_one_raises(rng):
+    idx = PlaceIndex(None, None, None, descriptor_dim=32, embed_batch=4)
+    idx.add_descriptors(_unit_rows(rng, 3))
+    with pytest.raises(ValueError, match="k=0"):
+        idx.query_descriptors(_unit_rows(rng, 1), k=0)
+
+
+def test_scheduler_survives_cancelled_future(tiny_model_cfg, rng):
+    """A caller cancelling its Future must not kill the worker thread:
+    set_result on a cancelled future raises InvalidStateError, which used
+    to escape _run and leave every later submit hanging forever."""
+    from epcnet_tpu.serve import QueryScheduler
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    idx = PlaceIndex(embed, state.params, state.batch_stats,
+                     descriptor_dim=tiny_model_cfg.output_dim,
+                     embed_batch=4, block_rows=32)
+    pts = rng.uniform(-1, 1, (6, 128, 3)).astype(np.float32)
+    idx.add(pts)
+    sched = QueryScheduler(idx, k=2, max_batch=4, max_wait_ms=200.0)
+    try:
+        doomed = sched.submit(pts[0])
+        assert doomed.cancel()  # caller gives up before the worker runs
+        live = sched.submit(pts[1])
+        ids, _ = live.result(timeout=120)  # same micro-batch as the corpse
+        assert ids[0] == 1
+        # worker still alive for a FRESH batch after the poison one
+        again = sched.submit(pts[2])
+        ids2, _ = again.result(timeout=120)
+        assert ids2[0] == 2
+    finally:
+        sched.stop()
+
+
+def test_scheduler_stop_drains_pending(tiny_model_cfg, rng):
+    """stop() must resolve queued-but-unserved futures with an error, not
+    leave their callers blocking forever."""
+    from epcnet_tpu.serve import QueryScheduler
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    idx = PlaceIndex(embed, state.params, state.batch_stats,
+                     descriptor_dim=tiny_model_cfg.output_dim,
+                     embed_batch=4, block_rows=32)
+    idx.add(rng.uniform(-1, 1, (3, 128, 3)).astype(np.float32))
+    sched = QueryScheduler(idx, k=1, max_batch=4, max_wait_ms=1.0)
+    from concurrent.futures import Future
+
+    sched._stop.set()  # freeze the worker loop before anything is served
+    sched._worker.join(timeout=30)
+    fut = Future()
+    sched._q.put((rng.uniform(-1, 1, (128, 3)).astype(np.float32), fut,
+                  0.0))
+    sched.stop()
+    with pytest.raises(RuntimeError, match="scheduler stopped"):
+        fut.result(timeout=30)
