@@ -149,13 +149,28 @@ class TupleLoader:
     def stop(self) -> None:
         self._stop.set()
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
-        """One pass over shuffled tuple indices, pool-assembled + prefetched."""
+    def epoch(self, epoch_idx: int = 0, skip_batches: int = 0) -> Iterator[dict]:
+        """One pass over shuffled tuple indices, pool-assembled + prefetched.
+
+        ``skip_batches`` fast-forwards past the first N emitted batches
+        WITHOUT file IO (mid-epoch resume): batch composition depends only
+        on tuple METADATA (the get_query_tuple usability predicate) and the
+        augmentation rng consumes draws whose count depends only on shapes,
+        so replaying zero-filled batches through the real ``_augment`` keeps
+        the resumed stream bit-identical to a full replay — where a full
+        replay re-loaded (and discarded) every already-consumed cloud,
+        minutes of pure restart IO at preemption depth. The number actually
+        skipped is left in ``self.skipped_batches``.
+        """
         # stop() only cancels the CURRENT epoch: a fresh epoch (e.g. train()
         # called again after a preemption checkpoint) starts unpoisoned
         self._stop = threading.Event()
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.tuples.queries))
+        crng = np.random.default_rng((self.seed, epoch_idx, 2))
+        self.skipped_batches = 0
+        if skip_batches > 0:
+            order = self._fast_forward(order, skip_batches, crng)
         q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch_depth)
         stop = self._stop
         n_workers = max(1, self.cfg.loader_threads)
@@ -177,7 +192,6 @@ class TupleLoader:
             return False
 
         def producer():
-            crng = np.random.default_rng((self.seed, epoch_idx, 2))
             try:
                 with ThreadPoolExecutor(max_workers=n_workers) as ex:
                     inflight = collections.deque()
@@ -213,13 +227,65 @@ class TupleLoader:
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is None:
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Any abnormal consumer exit (a dispatch raising mid-epoch, the
+            # generator being dropped) lands here via GeneratorExit: without
+            # it the producer spins in put_checked (stop never set) or
+            # blocks forever in the final q.put(None) on a full queue —
+            # leaking a thread + prefetch_depth batches per failed epoch.
+            stop.set()
+            while True:  # unblock a producer stuck in a full-queue put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            th.join(timeout=10)
+
+    def _fast_forward(self, order, skip_batches: int, crng) -> "np.ndarray":
+        """Advance ``order``/``crng`` past ``skip_batches`` emitted batches
+        using metadata only (see epoch()). Usability mirrors
+        get_query_tuple's early-return predicate exactly: enough positives
+        and a nonempty negative pool."""
+        cfg = self.cfg
+        dummies = None
+        usable = 0
+        consumed = len(order)
+        for pos, idx in enumerate(order):
+            e = self.tuples.queries[int(idx)]
+            if len(e["positives"]) < cfg.num_positives or len(e["negatives"]) == 0:
+                continue
+            usable += 1
+            if usable < self.batch_size:
+                continue
+            usable = 0
+            self.skipped_batches += 1
+            if self.augment:
+                # consume crng EXACTLY as _collate would: run the real
+                # _augment on zero batches of the real shapes (draw counts
+                # depend only on shapes, so this cannot drift from the
+                # augmentation implementation)
+                if dummies is None:
+                    n, b = cfg.num_points, self.batch_size
+                    dummies = [
+                        np.zeros((b, n, 3), np.float32),
+                        np.zeros((b, cfg.num_positives, n, 3), np.float32),
+                        np.zeros((b, cfg.num_negatives, n, 3), np.float32),
+                    ] + ([np.zeros((b, n, 3), np.float32)]
+                         if cfg.use_other_neg else [])
+                for d in dummies:
+                    _augment(d, cfg, crng)
+            if self.skipped_batches == skip_batches:
+                consumed = pos + 1
                 break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        return order[consumed:]
 
     def _collate(self, batch: list, rng: np.random.Generator) -> dict:
         out = {

@@ -129,11 +129,14 @@ def evaluate_region(
     """All (database run i, query run j != i) pairs of one region
     [LINEAGE: evaluate.py evaluate()]. Returns dict of averaged metrics."""
     eval_cfg = eval_cfg or EvalConfig()
+    # an empty run (no submaps / no queries in the test regions) is skipped,
+    # symmetrically for database and query sides — embedding an empty set
+    # would crash, and a zero-content pair must not score as zero recall
     db_descs = [
         embed_entries(embed_fn, params, batch_stats, s, data_cfg, eval_cfg.batch_size)
+        if len(s) else None
         for s in database_sets
     ]
-    # a run may have no queries inside the test regions — skip it
     q_descs = [
         embed_entries(embed_fn, params, batch_stats, s, data_cfg, eval_cfg.batch_size)
         if len(s) else None
@@ -141,6 +144,8 @@ def evaluate_region(
     ]
     recalls, one_percents = [], []
     for di in range(len(database_sets)):
+        if db_descs[di] is None:
+            continue
         for qi in range(len(query_sets)):
             if di == qi:
                 continue
@@ -156,10 +161,15 @@ def evaluate_region(
                 recalls.append(r)
                 one_percents.append(p1)
     if not recalls:
-        return {"recall_at": np.zeros(eval_cfg.top_k), "recall_at_1pct": 0.0}
+        # evaluated_pairs=0 marks "nothing to score here" — evaluate_dataset
+        # EXCLUDES such regions from the cross-region average (a zero row
+        # would silently deflate the reported recall)
+        return {"recall_at": np.zeros(eval_cfg.top_k), "recall_at_1pct": 0.0,
+                "evaluated_pairs": 0}
     return {
         "recall_at": np.mean(recalls, axis=0),
         "recall_at_1pct": float(np.mean(one_percents)),
+        "evaluated_pairs": len(recalls),
     }
 
 
@@ -177,7 +187,15 @@ def evaluate_dataset(
             eval_cfg, mesh, quantize=quantize,
         )
         out[name] = m
-        per_region.append(m)
+        # regions that scored NO pairs (single-run, or queries emptied by
+        # test-region filtering) must not average in as zeros
+        if m.get("evaluated_pairs", 1) > 0:
+            per_region.append(m)
+    if not per_region:
+        per_region = list(out.values()) or [
+            {"recall_at": np.zeros((eval_cfg or EvalConfig()).top_k),
+             "recall_at_1pct": 0.0}
+        ]
     out["average"] = {
         "recall_at": np.mean([m["recall_at"] for m in per_region], axis=0),
         "recall_at_1pct": float(np.mean([m["recall_at_1pct"] for m in per_region])),

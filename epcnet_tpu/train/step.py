@@ -148,11 +148,16 @@ def build_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable
                 batch,
                 accum,
             )
+        step0 = state.step  # pre-increment: the step the update actually used
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = {
             "loss": loss,
-            "learning_rate": lr(state.step),
-            "bn_momentum": bn_mom(state.step),
+            # schedules evaluated at step0 — optax's schedule count and the
+            # forward's bn momentum both used the PRE-increment step, so
+            # logging lr(state.step) would report each staircase decay one
+            # step before it takes effect
+            "learning_rate": lr(step0),
+            "bn_momentum": bn_mom(step0),
             **aux,
         }
         return state, metrics

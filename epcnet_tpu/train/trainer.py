@@ -142,11 +142,13 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self, on_epoch_end=None, should_stop=None) -> TrainState:
         """Epoch loop. Resume-aware: after ``maybe_restore()`` it re-enters at
-        the restored epoch and discards the batches the interrupted epoch had
-        already consumed (the loader order is (seed, epoch)-deterministic), so
-        a killed-and-restarted run continues the uninterrupted run exactly —
-        at epoch boundaries bit-for-bit; mid-epoch the data order realigns
-        while the mining cache is rebuilt from current params.
+        the restored epoch and the loader fast-forwards past the batches the
+        interrupted epoch had already consumed — from metadata alone, no
+        file IO (the loader order is (seed, epoch)-deterministic;
+        TupleLoader.epoch skip_batches) — so a killed-and-restarted run
+        continues the uninterrupted run exactly: at epoch boundaries
+        bit-for-bit; mid-epoch the data order realigns while the mining
+        cache is rebuilt from current params.
 
         ``should_stop`` (e.g. a ``parallel.PreemptionGuard``) is polled after
         every dispatch; when it fires, the loop checkpoints and returns early
@@ -194,7 +196,10 @@ class Trainer:
             + (1 if cfg.data.use_other_neg else 0)
         )
         start_epoch = int(self.state.epoch)
-        resume_skip = int(self.state.step) - int(self.state.epoch_start_step)
+        # the one deliberate host sync: everything after tracks the step
+        # counter host-side (each dispatch advances it by len(batches))
+        host_step = int(self.state.step)
+        resume_skip = host_step - int(self.state.epoch_start_step)
         for epoch in range(start_epoch, cfg.train.max_epoch):
             skip = resume_skip if epoch == start_epoch else 0
             if skip == 0:
@@ -219,10 +224,15 @@ class Trainer:
                 # granularity generalization of `cur % every == 0`
                 return cur // every > prev // every
 
-            def post_dispatch(prev_step: int, metrics_m: dict) -> None:
+            def post_dispatch(prev_step: int, step: int, metrics_m: dict) -> None:
+                # `step` is the HOST-mirrored counter (prev + batches
+                # dispatched): reading int(self.state.step) here would be a
+                # per-dispatch host sync on the step's output, serializing
+                # the async-dispatch pipeline the consensus comment above is
+                # careful to keep unserialized — the device would idle
+                # through every dispatch enqueue
                 nonlocal m
                 m = metrics_m
-                step = int(self.state.step)
                 if (
                     epoch >= cfg.train.mining_start_epoch
                     and crossed(prev_step, step, cfg.train.mining_refresh_steps)
@@ -250,29 +260,31 @@ class Trainer:
             preempted = False
             batches_seen = 0
             pending: list = []
-            for batch in self.loader.epoch(epoch):
+            # mid-epoch resume: the loader fast-forwards past the batches the
+            # interrupted run consumed from METADATA alone (no file IO) —
+            # stream-exact, see TupleLoader.epoch
+            for batch in self.loader.epoch(epoch, skip_batches=skip):
                 batches_seen += 1
-                if skip > 0:
-                    skip -= 1  # consumed before the restart — replay past it
-                    continue
                 pending.append(batch)
                 if len(pending) == s_per:
-                    prev = int(self.state.step)
+                    prev = host_step
                     with profile_region("train_step"):
                         mm = self._dispatch(pending)
                     n_steps += len(pending)
+                    host_step += len(pending)
                     pending = []
-                    post_dispatch(prev, mm)
+                    post_dispatch(prev, host_step, mm)
                     if should_stop is not None and should_stop():
                         preempted = True
                         break
             if not preempted:
                 for batch in pending:  # epoch-tail remainder: single-step shape
-                    prev = int(self.state.step)
+                    prev = host_step
                     with profile_region("train_step"):
                         mm = self._dispatch([batch])
                     n_steps += 1
-                    post_dispatch(prev, mm)
+                    host_step += 1
+                    post_dispatch(prev, host_step, mm)
                     if should_stop is not None and should_stop():
                         preempted = True
                         break
@@ -288,6 +300,7 @@ class Trainer:
                     f"(epoch {epoch}) and stopping — resume with --restore"
                 )
                 return self.state
+            batches_seen += getattr(self.loader, "skipped_batches", 0)
             if n_steps:
                 loss_txt = f"loss={float(m['loss']):.4f}"
             elif batches_seen:

@@ -282,3 +282,52 @@ def test_load_pc_file_inferred_size(tmp_path, rng):
     np.testing.assert_allclose(out, cloud.astype(np.float32))
     with pytest.raises(ValueError, match="expected"):
         load_pc_file(p, num_points=4096)
+
+
+def test_loader_fast_skip_matches_full_replay(synthetic_root):
+    """epoch(skip_batches=N) must resume the stream bit-identically to
+    consuming-and-discarding N batches: composition from metadata, the
+    augmentation rng advanced through the real _augment on zeros."""
+    from epcnet_tpu.configs import DataConfig
+    from epcnet_tpu.data.loader import TupleLoader
+    from epcnet_tpu.data.tuples import construct_query_dict, scan_runs
+
+    runs = scan_runs(synthetic_root)
+    tuples = construct_query_dict(runs, exclude_test_regions=False)
+    cfg = DataConfig(dataset_root=synthetic_root, num_points=128,
+                     num_negatives=3, num_positives=2)
+    full = list(TupleLoader(tuples, cfg, batch_size=2, seed=7).epoch(3))
+    assert len(full) >= 4, "fixture too small for a skip test"
+    loader = TupleLoader(tuples, cfg, batch_size=2, seed=7)
+    resumed = list(loader.epoch(3, skip_batches=2))
+    assert loader.skipped_batches == 2
+    assert len(resumed) == len(full) - 2
+    for a, b in zip(full[2:], resumed):
+        assert a["ids"] == b["ids"]
+        for k in ("query", "positives", "negatives", "other_neg"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_loader_consumer_crash_stops_producer(synthetic_root):
+    """Abandoning the epoch generator mid-stream (a dispatch raising) must
+    stop and join the producer thread instead of leaking it."""
+    import threading
+
+    from epcnet_tpu.configs import DataConfig
+    from epcnet_tpu.data.loader import TupleLoader
+    from epcnet_tpu.data.tuples import construct_query_dict, scan_runs
+
+    runs = scan_runs(synthetic_root)
+    tuples = construct_query_dict(runs, exclude_test_regions=False)
+    cfg = DataConfig(dataset_root=synthetic_root, num_points=128,
+                     num_negatives=3, num_positives=2, prefetch_depth=2)
+    before = threading.active_count()
+    loader = TupleLoader(tuples, cfg, batch_size=2, seed=0)
+    gen = loader.epoch(0)
+    next(gen)  # producer running, queue filling
+    gen.close()  # consumer unwinds (GeneratorExit) without draining
+    # the generator's finally joins the producer; no thread may linger
+    deadline = __import__("time").time() + 15
+    while threading.active_count() > before and __import__("time").time() < deadline:
+        __import__("time").sleep(0.1)
+    assert threading.active_count() <= before, "producer thread leaked"
