@@ -23,7 +23,7 @@ from epcnet_tpu.configs import ModelConfig
 from epcnet_tpu.models.layers import ProxyConv, SharedMLP
 from epcnet_tpu.models.vlad_head import GVLADHead
 from epcnet_tpu.ops.adjacency import gather_neighbor_mean, packed_neighbor_mean
-from epcnet_tpu.ops.knn import knn_adjacency, knn_jnp, knn_pallas
+from epcnet_tpu.ops.knn import knn, knn_adjacency, packed_layout_supported
 
 # adjacency_format="auto" switches the EVAL path to bit-packed adjacency
 # above this N. Measured on v5e-1 (docs/KERNELS.md capacity table): at
@@ -65,12 +65,24 @@ class EPCNet(nn.Module):
         # unpack costs more than the saved bytes (docs/KERNELS.md). Eval
         # path only: the packed consumer has no autodiff rule; training
         # keeps dense int8, whose matmul gradient XLA derives.
+        # auto cutovers: TRAIN switches to gather AT the 32k boundary (the
+        # dense [32k, 32k] adjacency is the measured compile-OOM, and packed
+        # is eval-only — strict `>` would route train at exactly N=32768 to
+        # the known-failing dense path); eval takes packed past 16k only
+        # when the bit-plane layout actually accepts N (no pad columns —
+        # otherwise "auto" would select a path that raises), else it rides
+        # dense until gather takes over past 32k.
         gather = cfg.adjacency_format == "gather" or (
-            cfg.adjacency_format == "auto" and n > _GATHER_AUTO_N
+            cfg.adjacency_format == "auto"
+            and (n > _GATHER_AUTO_N or (train and n >= _GATHER_AUTO_N))
         )
         packed = not gather and not train and (
             cfg.adjacency_format == "packed"
-            or (cfg.adjacency_format == "auto" and n > _PACKED_AUTO_N)
+            or (
+                cfg.adjacency_format == "auto"
+                and n > _PACKED_AUTO_N
+                and packed_layout_supported(n, proxy_dtype=cfg.compute_dtype)
+            )
         )
         if gather:
             # No adjacency in any layout: idx-only blockwise kNN, then each
@@ -78,9 +90,9 @@ class EPCNet(nn.Module):
             # (ops/adjacency.py gather_neighbor_mean). Differentiable —
             # valid for training — and the only single-chip path past
             # N=32k, where even bit-packed [N, N/32] planes fail.
-            idx = knn_jnp(x, cfg.knn_k) if impl == "jnp" else knn_pallas(
-                x, cfg.knn_k)
-            idx = jax.lax.stop_gradient(idx)
+            # knn() resolves impl="auto" against the backend — calling
+            # knn_pallas directly would run interpret mode off-TPU.
+            idx = jax.lax.stop_gradient(knn(x, cfg.knn_k, impl=impl))
             adj = None
         else:
             fmt = "packed" if packed else "dense"
@@ -96,7 +108,7 @@ class EPCNet(nn.Module):
             elif i == 0:
                 proxy = proxy0
             elif packed:
-                proxy = packed_neighbor_mean(f, adj, cfg.knn_k)
+                proxy = packed_neighbor_mean(f, adj, cfg.knn_k, dtype=dtype)
             else:
                 proxy = None  # ProxyConv runs the dense A@F matmul itself
             f = ProxyConv(ch, knn_k=cfg.knn_k, dtype=dtype, name=f"proxyconv_{i}")(

@@ -45,8 +45,18 @@ def mean_adjacency(idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
     MXU eats: compares drop from N·K·n to N·K·(n/128 + 128), ~20x fewer.
     """
     k = idx.shape[-1]
+    return (count_adjacency(idx, n, jnp.float32) / float(k)).astype(dtype)
+
+
+def count_adjacency(idx: jnp.ndarray, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """UNNORMALIZED adjacency counts (multiplicity of each column in each
+    row's neighbour list) — exact small integers in any float dtype. The
+    indicator consumers (kNN indices are distinct, so counts ARE 0/1) use
+    this directly: the old divide-by-k-then-multiply round trip produced
+    1.0000001-style entries for non-power-of-2 k in fp32, breaking bit
+    parity with the TPU kernel's exact 0/1 output."""
     if n <= 2 * _LANE:
-        return _mean_adjacency_direct(idx, n, dtype)
+        return _count_adjacency_direct(idx, n, dtype)
     h = -(-n // _LANE)
     npad = h * _LANE
     hi = idx // _LANE  # [..., N, K]
@@ -57,17 +67,17 @@ def mean_adjacency(idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
         "...kh,...kl->...hl", oh_hi, oh_lo, preferred_element_type=jnp.float32
     )  # [..., N, H, L]
     a = a.reshape(*idx.shape[:-1], npad)[..., :n]
-    return (a / float(k)).astype(dtype)
+    return a.astype(dtype)
 
 
-def _mean_adjacency_direct(idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+def _count_adjacency_direct(idx: jnp.ndarray, n: int, dtype=jnp.float32) -> jnp.ndarray:
     """Direct K-compare construction (oracle twin + small-n path)."""
     k = idx.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, idx.shape[:-1] + (n,), idx.ndim - 1)
     acc = jnp.zeros(idx.shape[:-1] + (n,), jnp.float32)
     for j in range(k):
         acc = acc + (idx[..., j : j + 1] == col).astype(jnp.float32)
-    return (acc / float(k)).astype(dtype)
+    return acc.astype(dtype)
 
 
 # ----------------------------------------------------------------------------
@@ -116,15 +126,16 @@ def unpack_indicator(packed: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
     )
 
 
-def _packed_mean_kernel(p_ref, f_ref, out_ref, *, w: int, k: int):
+def _packed_mean_kernel(p_ref, f_ref, out_ref, *, w: int, k: int, dtype):
     """Per tile: unpack the 32 bit-planes (each a [tile, W] lane slice) into
-    one wide [tile, 32*W] bf16 mask in VMEM, then ONE MXU dot against F —
-    fp32 accumulation, 1/K scale. One big dot pipelines far better than 32
+    one wide [tile, 32*W] mask in VMEM (compute dtype — bf16 default, fp32
+    for compute_dtype='float32' parity), then ONE MXU dot against F — fp32
+    accumulation, 1/K scale. One big dot pipelines far better than 32
     [tile, W] @ [W, C] partial dots (measured 2x on v5e)."""
     p = p_ref[0]  # [tile_n, W] int32
-    f = f_ref[0].astype(jnp.bfloat16)  # [n_cols, C]
+    f = f_ref[0].astype(dtype)  # [n_cols, C]
     mask = jnp.concatenate(
-        [((p >> j) & 1).astype(jnp.bfloat16) for j in range(_PLANES)], axis=1
+        [((p >> j) & 1).astype(dtype) for j in range(_PLANES)], axis=1
     )  # [tile_n, 32*W] — plane j occupies columns [j*W, (j+1)*W)
     acc = jax.lax.dot_general(
         mask, f, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -133,14 +144,15 @@ def _packed_mean_kernel(p_ref, f_ref, out_ref, *, w: int, k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "interpret")
+    jax.jit, static_argnames=("k", "tile_n", "interpret", "dtype")
 )
-def _packed_mean_pallas(packed, features, k: int, tile_n: int, interpret: bool):
+def _packed_mean_pallas(packed, features, k: int, tile_n: int, interpret: bool,
+                        dtype=jnp.bfloat16):
     b, nrows, w = packed.shape
     _, ncols, c = features.shape
     grid = (b, nrows // tile_n)
     return pl.pallas_call(
-        functools.partial(_packed_mean_kernel, w=w, k=k),
+        functools.partial(_packed_mean_kernel, w=w, k=k, dtype=dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_n, w), lambda bi, ti: (bi, ti, 0),
@@ -162,6 +174,7 @@ def packed_neighbor_mean(
     tile_n: int = 256,
     interpret: bool | None = None,
     impl: str = "auto",
+    dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Neighbour mean through the bit-packed adjacency.
 
@@ -180,16 +193,18 @@ def packed_neighbor_mean(
 
     Returns [..., N_rows, C] in features.dtype.
     """
+    from epcnet_tpu.ops.knn import _on_tpu  # one backend predicate everywhere
+
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
+        impl = "pallas" if _on_tpu() else "jnp"
     if impl == "jnp":
-        ind = unpack_indicator(packed, dtype=jnp.bfloat16)
+        ind = unpack_indicator(packed, dtype=dtype)
         return neighbor_mean(
-            features, adjacency=ind, compute_dtype=jnp.bfloat16,
+            features, adjacency=ind, compute_dtype=dtype,
             adjacency_scale=1.0 / k,
         )
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        interpret = not _on_tpu()
     *lead, nrows, w = packed.shape
     ncols, c = features.shape[-2], features.shape[-1]
     if ncols != _PLANES * w:
@@ -203,7 +218,7 @@ def packed_neighbor_mean(
     out = _packed_mean_pallas(
         packed.reshape(b, nrows, w),
         features.reshape(b, ncols, c),
-        k, tile_n, interpret,
+        k, tile_n, interpret, dtype=jnp.dtype(dtype),
     )
     return out.reshape(*lead, nrows, c)
 

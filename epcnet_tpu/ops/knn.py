@@ -310,17 +310,17 @@ def knn_pallas(
     *lead, n, d_in = x.shape
     if d_in > _COORD_PAD:
         raise ValueError(f"knn_pallas supports coordinate dim <= {_COORD_PAD}, got {d_in}")
+    if k > n:
+        raise ValueError(
+            f"k={k} > n={n}: the padded far columns would silently fill the "
+            "tail of every neighbour list (the jnp oracle raises here too)"
+        )
     b = 1
     for s in lead:
         b *= s
     xb = x.reshape(b, n, d_in).astype(jnp.float32)
 
-    tile_q = _fit_tile_to_vmem(min(tile_q, max(8, n)), n, bytes_per_elem=5)
-    # npad must be divisible by tile_q (grid) AND by 128 (the kernel's
-    # lane-segment reshape); for pow-2 tile sizes lcm = max(tile_q, 128).
-    import math
-
-    unit = tile_q * _LANE // math.gcd(tile_q, _LANE)
+    tile_q, unit = _pad_unit(n, tile_q, bytes_per_elem=5)
     npad = -(-n // unit) * unit
     pad_n = npad - n
     # Padded DB points sit far away so they are never selected (requires n >= k).
@@ -335,6 +335,39 @@ def knn_pallas(
     if return_dists:
         return idx, jax.lax.stop_gradient(dist[:, :n, :k].reshape(*lead, n, k))
     return idx
+
+
+def _pad_unit(n: int, tile_q: int, bytes_per_elem: int) -> tuple[int, int]:
+    """Resolve (tile_q, padding unit) for the blockwise kernels.
+
+    The tile is clamped to a POWER OF TWO <= n before the VMEM fit: npad
+    must be divisible by lcm(tile_q, 128), and a non-pow2 tile (e.g.
+    tile_q=n=100) makes that lcm explode — a 100-point cloud used to pad to
+    lcm(100, 128) = 3200 columns, 32x the arithmetic. With pow-2 tiles the
+    unit is simply max(tile_q, 128).
+    """
+    import math
+
+    pow2 = 1 << max(3, n.bit_length() - 1)  # largest pow2 <= n (min 8)
+    if pow2 > n:
+        pow2 //= 2
+    tile_q = _fit_tile_to_vmem(
+        min(tile_q, max(8, pow2)), n, bytes_per_elem=bytes_per_elem
+    )
+    return tile_q, tile_q * _LANE // math.gcd(tile_q, _LANE)
+
+
+def packed_layout_supported(
+    n: int, tile_q: int = 256, with_proxy: bool = True,
+    proxy_dtype: str = "bfloat16",
+) -> bool:
+    """True iff ``fmt="packed"`` accepts N (the bit-plane layout tolerates
+    no pad columns). Computed with the SAME tile/unit resolution the kernel
+    uses, so callers (adjacency_format="auto") can pre-check instead of
+    crashing into the kernel's ValueError."""
+    bpe = 9 + ((4 if proxy_dtype == "float32" else 2) if with_proxy else 0)
+    _, unit = _pad_unit(n, tile_q, bpe)
+    return n % unit == 0
 
 
 def _fit_tile_to_vmem(tile_q: int, n: int, bytes_per_elem: int) -> int:
@@ -390,6 +423,11 @@ def knn_with_adjacency_pallas(
     *lead, n, d_in = x.shape
     if d_in > _COORD_PAD:
         raise ValueError(f"coordinate dim must be <= {_COORD_PAD}, got {d_in}")
+    if k > n:
+        raise ValueError(
+            f"k={k} > n={n}: the padded far columns would silently fill the "
+            "tail of every neighbour list (the jnp oracle raises here too)"
+        )
     b = 1
     for s in lead:
         b *= s
@@ -398,12 +436,19 @@ def knn_with_adjacency_pallas(
     # in-kernel proxy adds a [tile, Npad] mask-cast matmul operand on top
     # (+2 B bf16 / +4 B f32 per element)
     bpe = 9 + ((4 if proxy_dtype == "float32" else 2) if with_proxy else 0)
-    tile_q = _fit_tile_to_vmem(min(tile_q, max(8, n)), n, bytes_per_elem=bpe)
-    import math
-
-    unit = tile_q * _LANE // math.gcd(tile_q, _LANE)
+    tile_q, unit = _pad_unit(n, tile_q, bytes_per_elem=bpe)
     npad = -(-n // unit) * unit
     xb = jnp.pad(xb, ((0, 0), (0, npad - n), (0, 0)), constant_values=1e6)
+    if npad != n:
+        # Tie-free pad points: all-identical (1e6, ...) pads make every pad
+        # QUERY row tie at distance 0 to every pad column, and the adaptive
+        # trim while_loop (whose cond spans the whole tile) then trims them
+        # one per iteration — ~pad_n serial [tile, Npad] passes spent on
+        # rows that are sliced away afterwards. A distinct ramp keeps pads
+        # far from real points but tie-free among themselves.
+        ramp = jnp.arange(npad, dtype=jnp.float32)
+        bump = jnp.where(ramp >= n, ramp - (n - 1), 0.0)[None, :, None]
+        xb = xb + bump
     xb = jnp.pad(xb, ((0, 0), (0, 0), (0, _COORD_PAD - d_in)))
     xb = jax.lax.stop_gradient(xb)
     if not with_idx:
@@ -461,7 +506,7 @@ def knn_adjacency(
     kernel, saving one dense [N, N] HBM read.
     ``fmt="packed"`` returns the adjacency as [..., N, N/32] int32 bit-planes
     (8x less HBM; consume with ops/adjacency.py packed_neighbor_mean)."""
-    from epcnet_tpu.ops.adjacency import mean_adjacency, neighbor_mean, pack_indicator
+    from epcnet_tpu.ops.adjacency import count_adjacency, neighbor_mean, pack_indicator
 
     # Same contract on BOTH backends (a with_idx combination that only the
     # jnp twin accepted would break at first TPU run):
@@ -481,8 +526,10 @@ def knn_adjacency(
             return idx, adj, proxy.astype(dtype)
         return out
     idx = knn_jnp(x, k)
-    indicator = (mean_adjacency(idx, x.shape[-2], dtype=jnp.float32) * float(k)
-                 ).astype(dtype)
+    # counts, NOT mean*k: kNN indices are distinct so counts are exactly the
+    # kernel's 0/1 indicator — the old divide/multiply round trip drifted an
+    # ulp for non-pow-2 k in fp32
+    indicator = count_adjacency(idx, x.shape[-2], dtype=dtype)
     if with_proxy:
         # same math as the ProxyConv layer-0 path it replaces
         proxy = neighbor_mean(
@@ -490,6 +537,7 @@ def knn_adjacency(
             adjacency_scale=1.0 / k,
         )
     adj = pack_indicator(indicator) if fmt == "packed" else indicator
+    # same return contract as the Pallas twin: idx only when asked for
     if with_proxy:
         return (idx if with_idx else None), adj, proxy
-    return idx, adj
+    return (idx if with_idx else None), adj

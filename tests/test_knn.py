@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from epcnet_tpu.ops.knn import knn, knn_jnp, knn_pallas
+from epcnet_tpu.ops.knn import knn, knn_adjacency, knn_jnp, knn_pallas
 from epcnet_tpu.ops.pairwise import pairwise_sqdist
 
 
@@ -178,3 +178,60 @@ def test_knn_adjacency_front_end_proxy(rng):
         np.asarray(proxy, np.float32), np.asarray(want, np.float32)
     )
 
+
+
+def test_knn_pallas_k_exceeds_n_raises(rng):
+    """k > n must raise on BOTH backends (the padded far columns would
+    otherwise silently fill neighbour tails with out-of-range indices)."""
+    x = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="k=50"):
+        knn_pallas(x, 50)
+    from epcnet_tpu.ops.knn import knn_with_adjacency_pallas
+
+    with pytest.raises(ValueError, match="k=50"):
+        knn_with_adjacency_pallas(x, 50, with_idx=False)
+
+
+def test_knn_adjacency_jnp_matches_pallas_contract():
+    """with_idx=False returns idx=None on BOTH backends (interpret mode
+    stands in for the TPU here)."""
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 128, 3).astype(np.float32))
+    out_j = knn_adjacency(x, 5, impl="jnp", with_idx=False)
+    out_p = knn_adjacency(x, 5, impl="pallas", with_idx=False)
+    assert out_j[0] is None and out_p[0] is None
+    np.testing.assert_array_equal(
+        np.asarray(out_j[1], np.float32), np.asarray(out_p[1], np.float32)
+    )
+
+
+def test_jnp_indicator_exact_zero_one_nonpow2_k(rng):
+    """fp32 indicator entries are EXACTLY 0/1 for non-power-of-2 k (the old
+    mean*k round trip produced 1.0000001-style entries)."""
+    x = jnp.asarray(rng.randn(1, 256, 3).astype(np.float32))
+    _, adj = knn_adjacency(x, 20, dtype=jnp.float32, impl="jnp", with_idx=False)
+    vals = np.unique(np.asarray(adj))
+    assert set(vals.tolist()) <= {0.0, 1.0}, vals
+
+
+def test_knn_pallas_small_odd_n_pad_unit(rng):
+    """Non-pow-2 n must not explode the padding unit (n=100 used to pad to
+    lcm(100, 128)=3200 columns); results still match the oracle."""
+    x = jnp.asarray(rng.randn(2, 100, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(knn_jnp(x, 7)), np.asarray(knn_pallas(x, 7))
+    )
+    from epcnet_tpu.ops.knn import _pad_unit
+
+    _, unit = _pad_unit(100, 256, 5)
+    assert unit <= 128
+
+
+def test_packed_layout_supported_matches_kernel(rng):
+    from epcnet_tpu.ops.knn import knn_with_adjacency_pallas, packed_layout_supported
+
+    assert packed_layout_supported(4096)
+    assert not packed_layout_supported(20000)
+    x = jnp.asarray(rng.randn(1, 200, 3).astype(np.float32))
+    if not packed_layout_supported(200):
+        with pytest.raises(ValueError, match="packed"):
+            knn_with_adjacency_pallas(x, 5, with_idx=False, fmt="packed")

@@ -247,13 +247,13 @@ def test_adjacency_auto_selects_gather_above_threshold(rng, tiny_model_cfg,
     out_dense = model.apply(v, x, train=False)
 
     calls = []
-    real = epcnet_mod.knn_jnp
+    real = epcnet_mod.knn
 
     def spy(*a, **kw):
-        calls.append("jnp")
+        calls.append("knn")
         return real(*a, **kw)
 
-    monkeypatch.setattr(epcnet_mod, "knn_jnp", spy)
+    monkeypatch.setattr(epcnet_mod, "knn", spy)
     monkeypatch.setattr(epcnet_mod, "_GATHER_AUTO_N", cfg.num_points - 1)
     out_auto = model.apply(v, x, train=False)
     assert calls  # the idx-only path actually ran
