@@ -97,12 +97,25 @@ def _model_flops_per_submap(cfg) -> dict:
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from epcnet_tpu.configs import ModelConfig
     from epcnet_tpu.models import get_model
+    from epcnet_tpu.utils.compile_cache import enable_compilation_cache
     from epcnet_tpu.utils.timing import device_sync
+
+    # Persistent XLA compile cache, defaulting to a repo-local dir: the
+    # driver reruns this script at every round end, and on the axon tunnel
+    # the first compile (not the measurement) is the fragile part — the
+    # compile helper degrades under churn (CLAUDE.md). A warm cache turns
+    # reruns into disk loads. $EPCNET_COMPILATION_CACHE_DIR still overrides.
+    enable_compilation_cache(
+        os.environ.get("EPCNET_COMPILATION_CACHE_DIR")
+        or os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+    )
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     cfg = ModelConfig(use_pallas=on_tpu)

@@ -24,6 +24,12 @@ Usage:
 
 Steps (CLAUDE.md "HARDWARE QUEUE on recovery"):
   probe          tiny matmul through the tunnel (timeout 300 s, gates all)
+  dataset        generate the calibrated synthetic benchmark (CPU-heavy;
+                 prerequisite for teacher/serve/eval steps — regenerate
+                 after a machine reset wipes $HW)
+  teacher        scripts/README.md step 2: paper-scale EPC-Net training
+                 (producing $HW/log, the serving/eval checkpoint)
+  eval_teacher   step 3: recall + latency probe on the trained teacher
   capacity       scripts/hw_train_capacity.py (remat/accum ladder)
   serve_load     scripts/hw_serve_load.py (fp32 device DB)
   serve_load_q8  scripts/hw_serve_load.py --quantize int8
@@ -64,7 +70,23 @@ def build_steps() -> list[tuple[str, list[str]]]:
         "train.remat=true", "train.grad_accum_steps=2",
     ]:
         tiny += ["--set", kv]
+    epochs = os.environ.get("EPCNET_HWQ_TEACHER_EPOCHS", "15")
     return [
+        ("dataset", [PY, "-u", "-m", "epcnet_tpu.cli.generate_tuples",
+                     "--dataset_root", os.path.join(HW, "data"),
+                     "--synthetic", "--synthetic_runs", "5",
+                     "--synthetic_submaps", "80",
+                     "--synthetic_difficulty", "0.5"]),
+        ("teacher", [PY, "-u", "-m", "epcnet_tpu.cli.train",
+                     "--dataset_root", os.path.join(HW, "data"),
+                     "--log_dir", os.path.join(HW, "log"),
+                     "--set", f"train.max_epoch={epochs}",
+                     "--set", "train.learning_rate=2e-4",
+                     "--set", "train.mining_start_epoch=5"]),
+        ("eval_teacher", [PY, "-u", "-m", "epcnet_tpu.cli.evaluate",
+                          "--dataset_root", os.path.join(HW, "data"),
+                          "--log_dir", os.path.join(HW, "log"),
+                          "--latency_probe"]),
         ("capacity", [PY, "-u", os.path.join(REPO, "scripts/hw_train_capacity.py")]),
         ("serve_load", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py")]),
         ("serve_load_q8", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py"),
@@ -122,14 +144,22 @@ def main() -> int:
 
     logs = os.path.join(HW, "logs")
     os.makedirs(logs, exist_ok=True)
-    # NO PYTHONPATH: exporting PYTHONPATH=/root/repo breaks the axon TPU
-    # plugin registration ("Unable to initialize backend 'axon'" — memory
-    # axon-tpu-gotchas). Children run with cwd=REPO instead: `-m` resolves
-    # epcnet_tpu from cwd, and the scripts/ entries sys.path-insert the repo.
+    # PYTHONPATH discipline: adding /root/repo to PYTHONPATH breaks the axon
+    # TPU plugin registration (memory axon-tpu-gotchas), but the plugin
+    # itself REGISTERS from a PYTHONPATH entry (/root/.axon_site holds the
+    # sitecustomize that wires backend 'axon'); popping PYTHONPATH outright
+    # therefore kills the backend. Strip only repo entries, keep the rest.
+    # Children run with cwd=REPO: `-m` resolves epcnet_tpu from cwd, and the
+    # scripts/ entries sys.path-insert the repo.
     env = {**os.environ,
            "EPCNET_HWBENCH": HW,
            "EPCNET_COMPILATION_CACHE_DIR": os.path.join(HW, "xla_cache")}
-    env.pop("PYTHONPATH", None)
+    keep = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and os.path.abspath(p) != REPO]
+    if keep:
+        env["PYTHONPATH"] = os.pathsep.join(keep)
+    else:
+        env.pop("PYTHONPATH", None)
 
     if args.dry_run:
         for name, cmd in steps:
