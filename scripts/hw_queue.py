@@ -27,9 +27,16 @@ Steps (CLAUDE.md "HARDWARE QUEUE on recovery"):
   dataset        generate the calibrated synthetic benchmark (CPU-heavy;
                  prerequisite for teacher/serve/eval steps — regenerate
                  after a machine reset wipes $HW)
+  dataset_eval   generate_tuples --mode test: the evaluation db/query
+                 pickles the serve-load scripts read from disk
   teacher        scripts/README.md step 2: paper-scale EPC-Net training
                  (producing $HW/log, the serving/eval checkpoint)
   eval_teacher   step 3: recall + latency probe on the trained teacher
+  student        step 4: EPC-Net-L distilled from the frozen teacher
+  eval_student   step 4 eval ($HW/log_student)
+  pnv            step 5: PointNetVLAD baseline at the reference lr 5e-5
+  eval_pnv       step 5 eval ($HW/log_pnv)
+  untrained      step 6: chance floor (scripts/hw_eval_untrained.py)
   capacity       scripts/hw_train_capacity.py (remat/accum ladder)
   serve_load     scripts/hw_serve_load.py (fp32 device DB)
   serve_load_q8  scripts/hw_serve_load.py --quantize int8
@@ -77,6 +84,15 @@ def build_steps() -> list[tuple[str, list[str]]]:
                      "--synthetic", "--synthetic_runs", "5",
                      "--synthetic_submaps", "80",
                      "--synthetic_difficulty", "0.5"]),
+        # eval pickles (mode=test) are a separate generate_tuples pass; the
+        # serve-load scripts read them from disk (evaluate can also build
+        # them on the fly, which is why only serve steps fail without this)
+        ("dataset_eval", [PY, "-u", "-m", "epcnet_tpu.cli.generate_tuples",
+                          "--dataset_root", os.path.join(HW, "data"),
+                          "--synthetic", "--synthetic_runs", "5",
+                          "--synthetic_submaps", "80",
+                          "--synthetic_difficulty", "0.5",
+                          "--mode", "test"]),
         ("teacher", [PY, "-u", "-m", "epcnet_tpu.cli.train",
                      "--dataset_root", os.path.join(HW, "data"),
                      "--log_dir", os.path.join(HW, "log"),
@@ -87,6 +103,28 @@ def build_steps() -> list[tuple[str, list[str]]]:
                           "--dataset_root", os.path.join(HW, "data"),
                           "--log_dir", os.path.join(HW, "log"),
                           "--latency_probe"]),
+        ("student", [PY, "-u", "-m", "epcnet_tpu.cli.distill",
+                     "--dataset_root", os.path.join(HW, "data"),
+                     "--teacher_log_dir", os.path.join(HW, "log"),
+                     "--log_dir", os.path.join(HW, "log_student"),
+                     "--set", f"train.max_epoch={epochs}"]),
+        ("eval_student", [PY, "-u", "-m", "epcnet_tpu.cli.evaluate",
+                          "--dataset_root", os.path.join(HW, "data"),
+                          "--log_dir", os.path.join(HW, "log_student")]),
+        ("pnv", [PY, "-u", "-m", "epcnet_tpu.cli.train",
+                 "--dataset_root", os.path.join(HW, "data"),
+                 "--log_dir", os.path.join(HW, "log_pnv"),
+                 "--set", "model.name=pointnetvlad",
+                 "--set", "model.vlad_groups=1",
+                 "--set", "model.vlad_group_dim=256",
+                 "--set", f"train.max_epoch={epochs}",
+                 # reference recipe lr: at 2e-4 the T-Nets collapse
+                 "--set", "train.learning_rate=5e-5"]),
+        ("eval_pnv", [PY, "-u", "-m", "epcnet_tpu.cli.evaluate",
+                      "--dataset_root", os.path.join(HW, "data"),
+                      "--log_dir", os.path.join(HW, "log_pnv")]),
+        ("untrained", [PY, "-u",
+                       os.path.join(REPO, "scripts/hw_eval_untrained.py")]),
         ("capacity", [PY, "-u", os.path.join(REPO, "scripts/hw_train_capacity.py")]),
         ("serve_load", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py")]),
         ("serve_load_q8", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py"),
