@@ -12,6 +12,7 @@ from epcnet_tpu.ops.vlad import vlad_aggregate, vlad_aggregate_jnp
 from epcnet_tpu.ops.sampling import (
     farthest_point_sample,
     gather_point,
+    prob_sample,
     ball_query,
     group_point,
     three_nn,
@@ -32,6 +33,7 @@ __all__ = [
     "vlad_aggregate_jnp",
     "farthest_point_sample",
     "gather_point",
+    "prob_sample",
     "ball_query",
     "group_point",
     "three_nn",

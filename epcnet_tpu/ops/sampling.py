@@ -67,6 +67,34 @@ def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(points, idx[..., None], axis=-2)
 
 
+def prob_sample(inp: jnp.ndarray, inpr: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF categorical sampling: draw indices from a probability row.
+
+    Reference: ``prob_sample`` in tf_sampling.py / the ``cumsumKernel`` +
+    ``binarysearchKernel`` pair in tf_sampling_g.cu [LINEAGE]: build the
+    cumulative sum of each probability row, then for every uniform draw
+    ``r`` return the smallest index ``i`` with ``cumsum[i] >= r``. The
+    reference does not normalize — callers pass rows summing to 1 — and we
+    keep that contract (draws past the final cumsum clamp to the last
+    index, matching the CUDA kernel's bounded binary search).
+
+    Args: inp [..., N] probabilities; inpr [..., M] uniform draws in [0, 1).
+    Returns: idx [..., M] int32.
+
+    TPU-native shape: one ``cumsum`` + a broadcast compare/argmax instead of
+    a per-draw binary search — N is small (<=4096) so the [M, N] compare is
+    a single vectorized pass, and the whole op fuses under jit.
+    """
+    cdf = jnp.cumsum(inp.astype(jnp.float32), axis=-1)  # [..., N]
+    # smallest i with cdf[i] >= r  ==  argmax of the boolean row (first True);
+    # an all-False row (r beyond the total mass) argmaxes to 0, so clamp it
+    # to the last index explicitly.
+    hit = cdf[..., None, :] >= inpr[..., :, None].astype(jnp.float32)
+    idx = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    n = inp.shape[-1]
+    return jnp.where(jnp.any(hit, axis=-1), idx, n - 1)
+
+
 def ball_query(
     radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
 ) -> jnp.ndarray:

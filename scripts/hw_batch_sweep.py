@@ -1,0 +1,128 @@
+"""Embed-throughput batch sweep: B in {8..128} at 4096 pts on the real chip.
+
+VERDICT r3 weak #4: the headline bench measures B=32 only, but the kNN
+kernel is serial-reduce-latency-bound (docs/KERNELS.md) — exactly the
+regime where larger batches can amortize. This sweep measures the full
+curve with bench.py's scan-delta method (the ~35 ms tunnel dispatch tax
+cancels in the hi-lo delta) so bench.py's default shape and the
+`embed_batch` defaults (mining sweep, eval, serving) can be set from data.
+
+Run serially on the TPU image (one TPU process at a time, long leash):
+    python -u scripts/hw_batch_sweep.py > /tmp/hw_batch_sweep.log 2>&1
+
+Writes $HW/logs/batch_sweep.json (one row per B) for hw_collect_evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from epcnet_tpu.configs import ModelConfig
+from epcnet_tpu.models import get_model
+from epcnet_tpu.utils.compile_cache import enable_compilation_cache
+from epcnet_tpu.utils.timing import device_sync
+
+enable_compilation_cache()  # $EPCNET_COMPILATION_CACHE_DIR, scripts/README.md
+
+HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
+
+
+def measure(model, variables, cfg, batch: int, iters: int = 5):
+    """bench.py's method: time an in-jit lax.scan of the embed step at two
+    chunk counts; the delta is pure device time per batch."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, cfg.num_points, 3)), jnp.float32)
+
+    def embed_chunks(v, pts, n_chunks: int):
+        def body(carry, _):
+            d = model.apply(v, pts + carry, train=False)
+            return 1e-12 * d[0, 0], d[:, :2]
+
+        _, outs = jax.lax.scan(body, jnp.float32(0), None, length=n_chunks)
+        return outs
+
+    # keep total work ~constant across B so every row resolves similarly:
+    # ~chunks*B = 384 submaps of hi work at B=32's (2, 12) reference
+    c_lo = 2
+    c_hi = max(c_lo + 2, int(round(c_lo + 320 / batch)))
+    f_lo = jax.jit(lambda v, p: embed_chunks(v, p, c_lo))
+    f_hi = jax.jit(lambda v, p: embed_chunks(v, p, c_hi))
+    t0 = time.perf_counter()
+    device_sync(f_lo(variables, x))
+    print(f"  [B={batch}] compiled lo in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    device_sync(f_hi(variables, x))
+
+    def run(f):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            device_sync(f(variables, x))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), float(np.max(ts) - np.min(ts))
+
+    per_batch, noise = 0.0, float("inf")
+    for _ in range(4):
+        t_lo, s_lo = run(f_lo)
+        t_hi, s_hi = run(f_hi)
+        per_batch = (t_hi - t_lo) / (c_hi - c_lo)
+        noise = (s_lo + s_hi) / (c_hi - c_lo)
+        if per_batch > max(2.0 * noise, 1e-6):
+            break
+    resolved = per_batch > max(2.0 * noise, 1e-6)
+    sps = batch / per_batch if resolved else float("nan")
+    print(f"  [B={batch}] {per_batch * 1e3:.2f} ms/batch -> {sps:.1f} "
+          f"submaps/s (noise {noise * 1e3:.3f} ms, resolved={resolved})",
+          flush=True)
+    return {
+        "batch": batch,
+        "per_batch_ms_device": round(per_batch * 1e3, 3),
+        "submaps_per_sec": round(sps, 2),
+        "noise_ms": round(noise * 1e3, 4),
+        "resolved": bool(resolved),
+        "scan_chunks": [c_lo, c_hi],
+    }
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    cfg = ModelConfig(use_pallas=on_tpu)
+    model = get_model(cfg)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(-1, 1, (1, cfg.num_points, 3)), jnp.float32)
+    variables = jax.jit(lambda r, d: model.init(r, d, train=False))(
+        jax.random.PRNGKey(0), x1
+    )
+
+    rows = [measure(model, variables, cfg, b) for b in (8, 16, 32, 64, 128)]
+    best = max((r for r in rows if r["resolved"]),
+               key=lambda r: r["submaps_per_sec"])
+    out = {
+        "metric": "embed_throughput_batch_sweep",
+        "num_points": cfg.num_points,
+        "backend": jax.default_backend(),
+        "rows": rows,
+        "best_batch": best["batch"],
+        "best_submaps_per_sec": best["submaps_per_sec"],
+    }
+    os.makedirs(os.path.join(HW, "logs"), exist_ok=True)
+    path = os.path.join(HW, "logs", "batch_sweep.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

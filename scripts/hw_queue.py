@@ -38,11 +38,19 @@ Steps (CLAUDE.md "HARDWARE QUEUE on recovery"):
   eval_pnv       step 5 eval ($HW/log_pnv)
   untrained      step 6: chance floor (scripts/hw_eval_untrained.py)
   capacity       scripts/hw_train_capacity.py (remat/accum ladder)
+  capacity_gather scripts/hw_capacity_gather.py (gather rung: N=16k..131k
+                 embed via adjacency_format="gather" — VERDICT r3 missing #3)
+  batch_sweep    scripts/hw_batch_sweep.py (B in {8..128} embed-throughput
+                 curve; crowns bench.py's batch shape — VERDICT r3 weak #4)
   serve_load     scripts/hw_serve_load.py (fp32 device DB)
   serve_load_q8  scripts/hw_serve_load.py --quantize int8
+  serve_scale    scripts/hw_serve_scale.py (DB-size ladder to 10^7 rows int8
+                 — VERDICT r3 missing #4)
   eval_q8        evaluate --quantize int8 (protocol step 3b)
   memlever_cli   tiny synthetic train with remat=true grad_accum_steps=2
                  (TPU-side CLI verify of the memory levers)
+  multiseed      scripts/hw_multiseed.py (3-seed teacher+student error bars
+                 — VERDICT r3 missing #2; runs its OWN serial subprocesses)
   bench          bench.py sanity (the driver's headline JSON line)
 """
 
@@ -86,12 +94,13 @@ def build_steps() -> list[tuple[str, list[str]]]:
                      "--synthetic_difficulty", "0.5"]),
         # eval pickles (mode=test) are a separate generate_tuples pass; the
         # serve-load scripts read them from disk (evaluate can also build
-        # them on the fly, which is why only serve steps fail without this)
+        # them on the fly, which is why only serve steps fail without this).
+        # NO --synthetic here: the dataset step above just wrote the clouds,
+        # and re-generating them would silently overwrite what the teacher
+        # trains on if the generator ever stopped being fully seeded — this
+        # pass only builds the test pickles from the on-disk dataset.
         ("dataset_eval", [PY, "-u", "-m", "epcnet_tpu.cli.generate_tuples",
                           "--dataset_root", os.path.join(HW, "data"),
-                          "--synthetic", "--synthetic_runs", "5",
-                          "--synthetic_submaps", "80",
-                          "--synthetic_difficulty", "0.5",
                           "--mode", "test"]),
         ("teacher", [PY, "-u", "-m", "epcnet_tpu.cli.train",
                      "--dataset_root", os.path.join(HW, "data"),
@@ -126,9 +135,15 @@ def build_steps() -> list[tuple[str, list[str]]]:
         ("untrained", [PY, "-u",
                        os.path.join(REPO, "scripts/hw_eval_untrained.py")]),
         ("capacity", [PY, "-u", os.path.join(REPO, "scripts/hw_train_capacity.py")]),
+        ("capacity_gather", [PY, "-u",
+                             os.path.join(REPO, "scripts/hw_capacity_gather.py")]),
+        ("batch_sweep", [PY, "-u",
+                         os.path.join(REPO, "scripts/hw_batch_sweep.py")]),
         ("serve_load", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py")]),
         ("serve_load_q8", [PY, "-u", os.path.join(REPO, "scripts/hw_serve_load.py"),
                            "--quantize", "int8"]),
+        ("serve_scale", [PY, "-u",
+                         os.path.join(REPO, "scripts/hw_serve_scale.py")]),
         ("eval_q8", [PY, "-u", "-m", "epcnet_tpu.cli.evaluate",
                      "--dataset_root", os.path.join(HW, "data"),
                      "--log_dir", os.path.join(HW, "log"),
@@ -138,6 +153,9 @@ def build_steps() -> list[tuple[str, list[str]]]:
                           "--dataset_root", memlever_ds,
                           "--log_dir", os.path.join(memlever_ds, "log"),
                           "--synthetic"] + tiny),
+        # multiseed spawns its own strictly-serial train/eval subprocesses
+        # (same tunnel discipline), so it is still one-TPU-process-at-a-time
+        ("multiseed", [PY, "-u", os.path.join(REPO, "scripts/hw_multiseed.py")]),
         ("bench", [PY, "-u", os.path.join(REPO, "bench.py")]),
     ]
 

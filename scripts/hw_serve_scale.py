@@ -1,0 +1,180 @@
+"""Serving DB scale test: p50/p99 + qps vs DB size at 10^5..10^7 rows.
+
+VERDICT r3 missing #4: the int8 device DB is sold as "4x rows per chip for
+pod-scale DBs" but the load tests index only hundreds of rows. This script
+builds a synthetic descriptor DB at real scale ON THE CHIP through the
+normal PlaceIndex append path (capacity-doubling device buffer, device-side
+int8 quantization), then measures the fused embed+retrieve query path at
+each size rung:
+
+  - append storm: irregular host-side chunks crossing every capacity
+    doubling, with the post-append sync+query latency recorded (the growth
+    copy runs at HBM bandwidth — the rung that doubles capacity shows it);
+  - steady-state query latency: wall p50/p99 + qps over repeated fused
+    dispatches of a full embed_batch (each = 4096-pt embed of 32 submaps +
+    exact top-k against the whole DB). Wall times carry the constant
+    ~35 ms/dispatch tunnel tax (docs/KERNELS.md) — on directly-attached
+    TPUs subtract it; qps is submaps/s through the serving path;
+  - HBM footprint from PlaceIndex.metrics()["device_bytes"].
+
+DB rows are random unit-norm descriptors (the embed cost and the distance
+matmul cost do not depend on row VALUES; recall correctness at scale is
+separately pinned by the self-retrieval checks below — the real-descriptor
+recall evidence is results_int8.txt). A handful of REAL embedded rows are
+planted in the synthetic sea and must come back as top-1 self-retrievals
+at every size rung: exactness cannot silently degrade with DB size.
+
+fp32 tops out at 2^21 rows (cap 2 GB + transient doubling copy; the 16 GB
+v5e HBM also holds the model + distance slab), int8 runs to 10^7
+(2.56 GB device DB) — measuring exactly the "4x rows per chip" capacity
+claim.
+
+Run serially (one TPU process at a time, generous leash):
+    python -u scripts/hw_serve_scale.py > /tmp/hw_serve_scale.log 2>&1
+
+Writes $HW/logs/serve_scale.json for hw_collect_evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from epcnet_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()  # $EPCNET_COMPILATION_CACHE_DIR
+
+HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
+
+
+def rand_unit_rows(rng, n: int, dim: int) -> np.ndarray:
+    d = rng.standard_normal((n, dim), dtype=np.float32)
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
+def measure_rung(index, query_pts, planted, rows_target: int, rng,
+                 iters: int = 30) -> dict:
+    """Grow the index to rows_target via an append storm, then measure."""
+    from epcnet_tpu.serve import PlaceIndex  # noqa: F401 (typing only)
+
+    append_events = []
+    # chunks scale with the rung: add_descriptors copies the host master on
+    # every append (np.concatenate), so tiny chunks at 10^7 rows would spend
+    # minutes in host memcpy without telling us anything new about the chip
+    chunk = max(100_000, rows_target // 16)
+    while len(index) < rows_target:
+        need = rows_target - len(index)
+        # irregular sizes so appends cross block boundaries unaligned
+        n = int(min(need, chunk * (0.5 + rng.random())))
+        index.add_descriptors(rand_unit_rows(rng, n, index.dim))
+        cap_before = index.metrics()["device_rows_capacity"]
+        t0 = time.perf_counter()
+        ids, _ = index.query(query_pts[:1], k=1)  # forces the lazy sync
+        dt = time.perf_counter() - t0
+        cap_after = index.metrics()["device_rows_capacity"]
+        append_events.append({
+            "rows": len(index), "sync_query_ms": round(dt * 1e3, 1),
+            "grew_capacity": bool(cap_after != cap_before),
+            "capacity": cap_after,
+        })
+    print(f"  [rows={rows_target}] append storm done "
+          f"({len(append_events)} chunks, "
+          f"{sum(e['grew_capacity'] for e in append_events)} capacity "
+          "doublings)", flush=True)
+
+    # exactness at scale: every planted real row must self-retrieve top-1
+    ids, _ = index.query(planted["points"], k=1)
+    self_ok = int((ids[:, 0] == planted["ids"]).sum())
+    assert self_ok == len(planted["ids"]), (
+        f"self-retrieval broke at {rows_target} rows: "
+        f"{self_ok}/{len(planted['ids'])} (ids {ids[:, 0]} vs {planted['ids']})"
+    )
+
+    # steady state: repeated full-batch fused dispatches
+    b = query_pts.shape[0]
+    index.query(query_pts, k=25)  # warm this capacity's program
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        index.query(query_pts, k=25)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    qps = b / (sum(lat) / len(lat))
+    m = index.metrics()
+    row = {
+        "rows": len(index),
+        "quantize": index.quantize,
+        "device_bytes": m["device_bytes"],
+        "device_rows_capacity": m["device_rows_capacity"],
+        "batch": b,
+        "iters": iters,
+        "p50_ms": round(p50 * 1e3, 1),
+        "p99_ms": round(p99 * 1e3, 1),
+        "qps": round(qps, 1),
+        "self_retrieval": f"{self_ok}/{len(planted['ids'])}",
+        "append_events": append_events,
+    }
+    print(f"  [rows={len(index)} {index.quantize}] p50={row['p50_ms']}ms "
+          f"p99={row['p99_ms']}ms qps={row['qps']} "
+          f"dev={m['device_bytes'] / 1e9:.2f}GB self={row['self_retrieval']}",
+          flush=True)
+    return row
+
+
+def run_ladder(quantize: str, rungs, embed_batch: int = 32) -> list[dict]:
+    from epcnet_tpu.serve import PlaceIndex
+
+    print(f"=== quantize={quantize} rungs={rungs}", flush=True)
+    index = PlaceIndex.from_checkpoint(
+        f"{HW}/log", embed_batch=embed_batch, quantize=quantize
+    )
+    index.warmup()
+    rng = np.random.default_rng(0)
+    query_pts = rng.uniform(-1, 1, (embed_batch, index.num_points, 3)).astype(
+        np.float32
+    )
+    # plant REAL embedded rows at the very start (ids 0..b-1): the top-1
+    # self-retrieval check must survive every synthetic rung
+    planted_desc = index.embed(query_pts)
+    index.add_descriptors(planted_desc)
+    planted = {"points": query_pts, "ids": np.arange(embed_batch)}
+    return [
+        measure_rung(index, query_pts, planted, r, rng) for r in rungs
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fp32_rungs", default="100000,1000000,2097152",
+                    help="fp32 device-DB sizes (HBM-bounded: cap*4B*dim)")
+    ap.add_argument("--int8_rungs", default="100000,1000000,10000000")
+    args = ap.parse_args()
+
+    import jax
+    print("devices:", jax.devices(), flush=True)
+
+    results = {"metric": "serve_db_scale", "ladders": {}}
+    for quant, rungs_s in (("none", args.fp32_rungs), ("int8", args.int8_rungs)):
+        rungs = [int(x) for x in rungs_s.split(",") if x]
+        results["ladders"][quant] = run_ladder(quant, rungs)
+        time.sleep(10)  # idle gap between heavy phases (tunnel discipline)
+
+    os.makedirs(os.path.join(HW, "logs"), exist_ok=True)
+    path = os.path.join(HW, "logs", "serve_scale.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ from epcnet_tpu.ops import (
     l2_distance_matrix,
     mean_adjacency,
     neighbor_mean,
+    prob_sample,
     three_interpolate,
     three_nn,
     topk_neighbors,
@@ -98,6 +99,37 @@ def test_group_point_gathers(rng):
     for m in range(4):
         for k in range(3):
             np.testing.assert_allclose(g[0, m, k], fn[0, int(idx[0, m, k])])
+
+
+def test_prob_sample_matches_numpy_searchsorted_oracle(rng):
+    # reference semantics (tf_sampling_g.cu binarysearchKernel): smallest
+    # index i with cumsum(probs)[i] >= r, per batch row
+    p = rng.rand(3, 50).astype(np.float32)
+    p = p / p.sum(-1, keepdims=True)
+    r = rng.rand(3, 200).astype(np.float32)
+    got = np.asarray(prob_sample(jnp.asarray(p), jnp.asarray(r)))
+    for b in range(3):
+        cdf = np.cumsum(p[b], dtype=np.float32)
+        ref = np.minimum(np.searchsorted(cdf, r[b], side="left"), 49)
+        np.testing.assert_array_equal(got[b], ref)
+
+
+def test_prob_sample_edge_cases():
+    # zero-probability rows are never drawn; r past the total mass clamps to
+    # the last index (the CUDA kernel's bounded search does the same)
+    p = jnp.asarray([[0.0, 0.5, 0.0, 0.5]], jnp.float32)
+    r = jnp.asarray([[0.01, 0.49, 0.51, 0.999, 1.5]], jnp.float32)
+    got = np.asarray(prob_sample(p, r))[0]
+    np.testing.assert_array_equal(got, [1, 1, 3, 3, 3])
+
+
+def test_prob_sample_distribution(rng):
+    # statistical check: empirical frequencies approach the probability row
+    p = np.asarray([[0.1, 0.2, 0.3, 0.4]], np.float32)
+    r = rng.rand(1, 20000).astype(np.float32)
+    idx = np.asarray(prob_sample(jnp.asarray(p), jnp.asarray(r)))[0]
+    freq = np.bincount(idx, minlength=4) / idx.size
+    np.testing.assert_allclose(freq, p[0], atol=0.02)
 
 
 def test_three_interpolate_exact_at_known_points(rng):
