@@ -9,6 +9,7 @@ Run on the v5e (serially, long leash):
     python -u scripts/hw_capacity_gather.py > /tmp/hw_gather.log 2>&1
 """
 
+import json
 import os
 import sys
 import time
@@ -27,6 +28,8 @@ from epcnet_tpu.models import get_model
 from epcnet_tpu.utils.timing import device_sync
 
 enable_compilation_cache()  # $EPCNET_COMPILATION_CACHE_DIR, scripts/README.md
+
+HW = os.environ.get("EPCNET_HWBENCH", "/root/hwbench")
 
 
 def measure(n: int, b: int, fmt: str, c_lo: int = 1, c_hi: int = 3,
@@ -74,13 +77,36 @@ def measure(n: int, b: int, fmt: str, c_lo: int = 1, c_hi: int = 3,
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    # comparison row at 16k (dense measured 164.5/s, packed 155.5/s)
-    measure(16384, 4, "gather")
-    # packed's ceiling shape (packed measured 37.5/s at B=2)
-    measure(32768, 2, "gather")
-    # beyond every adjacency layout — single-chip giant submaps
-    measure(65536, 1, "gather")
-    measure(131072, 1, "gather")
+    rungs = [
+        # comparison row at 16k (dense measured 164.5/s, packed 155.5/s)
+        (16384, 4),
+        # packed's ceiling shape (packed measured 37.5/s at B=2)
+        (32768, 2),
+        # beyond every adjacency layout — single-chip giant submaps
+        (65536, 1),
+        (131072, 1),
+    ]
+    rows = []
+    for n, b in rungs:
+        try:
+            per_batch, sps = measure(n, b, "gather")
+            rows.append({"n": n, "batch": b, "format": "gather",
+                         "per_batch_ms_device": round(per_batch * 1e3, 1),
+                         "submaps_per_sec": round(sps, 2), "ok": True})
+        except Exception as e:  # a rung that OOMs must not hide the rest
+            print(f"  [N={n} B={b} gather] FAILED: {e!r}", flush=True)
+            rows.append({"n": n, "batch": b, "format": "gather",
+                         "ok": False, "error": repr(e)[:500]})
+        time.sleep(15)  # idle gap: compile helper degrades under churn
+
+    out = {"metric": "capacity_gather", "backend": jax.default_backend(),
+           "rows": rows}
+    os.makedirs(os.path.join(HW, "logs"), exist_ok=True)
+    path = os.path.join(HW, "logs", "capacity_gather.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    print(f"wrote {path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ ARTIFACTS = [
     ("log_pnv/results.json", "pnv_results.json"),
     ("logs/queue_status.json", "queue_status.json"),
     ("logs/batch_sweep.json", "batch_sweep.json"),
+    ("logs/capacity_gather.json", "capacity_gather.json"),
     ("logs/serve_scale.json", "serve_scale.json"),
     ("logs/multiseed.json", "multiseed.json"),
     ("logs/bench.log", "bench.log"),

@@ -93,6 +93,7 @@ def test_difficulty_perturbs_visits_not_labels(benchmark_root):
     assert np.allclose(a[["northing", "easting"]], b[["northing", "easting"]])
 
 
+@pytest.mark.slow
 def test_trained_model_beats_untrained_with_headroom(benchmark_root):
     """The regression band: untrained near chance, trained well above it
     and below saturation. A training-quality regression (dead loss, broken

@@ -8,6 +8,10 @@ import os
 import numpy as np
 import pytest
 
+# end-to-end CLI runs (train/distill/evaluate loops + compiles): the
+# suite's slowest non-subprocess module — full-suite tier only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cli_root(tmp_path_factory):

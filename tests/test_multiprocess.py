@@ -32,6 +32,9 @@ import time
 
 import pytest
 
+# real OS-process clusters: minutes each — full-suite tier only
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _LAUNCH_TIMEOUT = 420  # cold jax import + CPU compile per worker

@@ -711,6 +711,7 @@ def test_warmup_populated_index_unchanged_results(tiny_model_cfg, rng, quantize)
     np.testing.assert_array_equal(dw, dc)
 
 
+@pytest.mark.slow
 def test_serve_cli_subprocess_warmup_and_drain(tmp_path):
     """The REAL serve CLI end-to-end in a subprocess: train a tiny
     checkpoint, launch ``python -m epcnet_tpu.cli.serve`` (exercising the
