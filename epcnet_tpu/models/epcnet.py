@@ -33,7 +33,11 @@ from epcnet_tpu.ops.knn import knn, knn_adjacency, packed_layout_supported
 _PACKED_AUTO_N = 16384
 # ... and above THIS N "auto" drops the adjacency entirely: idx-only
 # blockwise kNN + [N, K] gather means (gather_neighbor_mean) — the
-# single-chip >32k capacity rung (docs/KERNELS.md).
+# single-chip >32k capacity rung. Cutover CONFIRMED on v5e-1 (round 4,
+# hwevidence/r04/capacity_gather.json): at N=32768 packed still wins
+# (37.5 vs gather's 15.9 submaps/s), past it gather is the only path and
+# runs to N=131072 single-chip (65k: 5.5/s, 131k: 1.4/s) —
+# docs/KERNELS.md capacity table.
 _GATHER_AUTO_N = 32768
 
 
