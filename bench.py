@@ -121,7 +121,11 @@ def main():
     cfg = ModelConfig(use_pallas=on_tpu)
     model = get_model(cfg)
 
-    batch = 32
+    # Measured-best shape from the round-4 hardware batch sweep
+    # (hwevidence/r04/batch_sweep.json; docs/KERNELS.md "batch curve"):
+    # B in {8..128} is nearly flat — the kernel is per-submap
+    # latency-bound — with B=8 best (2517/s) and B=128 worst (2314/s).
+    batch = 8
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (batch, cfg.num_points, 3)), jnp.float32)
     variables = jax.jit(lambda r, d: model.init(r, d, train=False))(
@@ -139,7 +143,8 @@ def main():
         _, outs = jax.lax.scan(body, jnp.float32(0), None, length=n_chunks)
         return outs
 
-    c_lo, c_hi = (2, 12) if on_tpu else (1, 3)
+    # keep hi-chunk device work ~constant across batch shapes (~320 submaps)
+    c_lo, c_hi = (2, 2 + 320 // batch) if on_tpu else (1, 3)
     f_lo = jax.jit(lambda v, p: embed_chunks(v, p, c_lo))
     f_hi = jax.jit(lambda v, p: embed_chunks(v, p, c_hi))
     device_sync(f_lo(variables, x))  # compile

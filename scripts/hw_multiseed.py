@@ -73,10 +73,24 @@ def recall1(log_dir: str) -> float | None:
     return float(region["recall_at"][0])
 
 
-def run_seed(seed: int, root: str, epochs: str) -> dict:
+def run_seed(seed: int, root: str, epochs: str,
+             teacher_only: bool = False) -> dict:
     data = os.path.join(HW, "data")
     log = os.path.join(root, "log")
     log_s = os.path.join(root, "log_student")
+    done_t, done_s = recall1(log), recall1(log_s)
+    if done_t is not None and teacher_only:
+        print(f"[seed {seed}] reusing completed teacher: {done_t:.4f}",
+              flush=True)
+        return {"seed": seed, "teacher_recall1": done_t,
+                "student_recall1": done_s, "reused": True}
+    if done_t is not None and done_s is not None:
+        # Per-seed resume: a prior (possibly interrupted) invocation already
+        # finished this seed — its results.json files are the evidence.
+        print(f"[seed {seed}] reusing completed run: teacher {done_t:.4f} "
+              f"student {done_s:.4f}", flush=True)
+        return {"seed": seed, "teacher_recall1": done_t,
+                "student_recall1": done_s, "reused": True}
     steps = [
         ("teacher", [PY, "-u", "-m", "epcnet_tpu.cli.train",
                      "--dataset_root", data, "--log_dir", log,
@@ -94,6 +108,11 @@ def run_seed(seed: int, root: str, epochs: str) -> dict:
         ("eval_student", [PY, "-u", "-m", "epcnet_tpu.cli.evaluate",
                           "--dataset_root", data, "--log_dir", log_s]),
     ]
+    if teacher_only:
+        # Wall-clock-bounded mode: the regression band is defined on the
+        # teacher, so when the round clock can't fit a full seed run, grow
+        # teacher-n without the student half (stats skip the None).
+        steps = steps[:2]
     for name, cmd in steps:
         rc = run_step(f"s{seed}_{name}", cmd, root)
         if rc != 0 and name in ("teacher", "student"):
@@ -109,6 +128,9 @@ def main():
                     help="extra train seeds (1234 = the round-3 run of record)")
     ap.add_argument("--rerun_base", action="store_true",
                     help="retrain seed 1234 instead of reusing $HW/log")
+    ap.add_argument("--teacher_only", action="store_true",
+                    help="run teacher+eval only for NEW seeds (completed "
+                         "full seeds are still reused with their student)")
     args = ap.parse_args()
     epochs = os.environ.get("EPCNET_HWQ_TEACHER_EPOCHS", "15")
 
@@ -125,7 +147,8 @@ def main():
                              epochs))
 
     for s in [int(x) for x in args.seeds.split(",") if x]:
-        rows.append(run_seed(s, os.path.join(HW, "multiseed", f"s{s}"), epochs))
+        rows.append(run_seed(s, os.path.join(HW, "multiseed", f"s{s}"),
+                             epochs, teacher_only=args.teacher_only))
 
     def stats(key):
         vals = [r[key] for r in rows if r.get(key) is not None]
