@@ -106,15 +106,18 @@ def main():
     )
 
     rows = [measure(model, variables, cfg, b) for b in (8, 16, 32, 64, 128)]
-    best = max((r for r in rows if r["resolved"]),
-               key=lambda r: r["submaps_per_sec"])
+    resolved = [r for r in rows if r["resolved"]]
+    # No batch resolving above timer noise is still evidence — persist the
+    # rows with best_batch=null instead of crashing after the full sweep.
+    best = (max(resolved, key=lambda r: r["submaps_per_sec"])
+            if resolved else None)
     out = {
         "metric": "embed_throughput_batch_sweep",
         "num_points": cfg.num_points,
         "backend": jax.default_backend(),
         "rows": rows,
-        "best_batch": best["batch"],
-        "best_submaps_per_sec": best["submaps_per_sec"],
+        "best_batch": best["batch"] if best else None,
+        "best_submaps_per_sec": best["submaps_per_sec"] if best else None,
     }
     os.makedirs(os.path.join(HW, "logs"), exist_ok=True)
     path = os.path.join(HW, "logs", "batch_sweep.json")

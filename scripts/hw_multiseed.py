@@ -113,6 +113,13 @@ def run_seed(seed: int, root: str, epochs: str,
         # teacher, so when the round clock can't fit a full seed run, grow
         # teacher-n without the student half (stats skip the None).
         steps = steps[:2]
+    elif done_t is not None:
+        # Half-done seed (e.g. a wall-clock cut landed between teacher and
+        # student): the teacher's results.json IS its evidence — resume at
+        # the student step instead of re-paying hours of teacher train.
+        print(f"[seed {seed}] teacher already complete ({done_t:.4f}); "
+              "resuming at the student step", flush=True)
+        steps = steps[2:]
     for name, cmd in steps:
         rc = run_step(f"s{seed}_{name}", cmd, root)
         if rc != 0 and name in ("teacher", "student"):

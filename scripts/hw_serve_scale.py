@@ -25,9 +25,11 @@ planted in the synthetic sea and must come back as top-1 self-retrievals
 at every size rung: exactness cannot silently degrade with DB size.
 
 fp32 tops out at 2^21 rows (cap 2 GB + transient doubling copy; the 16 GB
-v5e HBM also holds the model + distance slab), int8 runs to 10^7
-(2.56 GB device DB) — measuring exactly the "4x rows per chip" capacity
-claim.
+v5e HBM also holds the model + distance slab), int8 runs to 10^7 rows —
+2.56 GB of occupied row data (10^7 x 256 x 1B + scales), inside a 4.36 GB
+allocated device buffer (the capacity-doubled 16.8M-row block, matching
+serve_scale.json device_bytes) — measuring exactly the "4x rows per chip"
+capacity claim.
 
 Run serially (one TPU process at a time, generous leash):
     python -u scripts/hw_serve_scale.py > /tmp/hw_serve_scale.log 2>&1
