@@ -185,6 +185,17 @@ def main(argv=None):
                     help="device DB format: int8 stores descriptors "
                     "quantized per-row (4x less HBM per row, ~4e-4 max "
                     "dequantization error; host DB/save stay fp32)")
+    ap.add_argument("--sync_mode", default="blocking",
+                    choices=("blocking", "background"),
+                    help="when adds become query-visible: 'blocking' = "
+                    "read-your-writes (a query waits for full device "
+                    "residency); 'background' = a daemon thread syncs in "
+                    "chunks and queries run immediately against the "
+                    "resident prefix — bulk ingest never stalls the query "
+                    "path (docs/SERVING.md)")
+    ap.add_argument("--sync_chunk_rows", type=int, default=None,
+                    help="rows per device-sync chunk (default 8*block_rows); "
+                    "bounds how long one transfer occupies the device")
     add_cli_arg(ap)
     args = ap.parse_args(argv)
     enable_compilation_cache(args.compilation_cache_dir)
@@ -207,7 +218,8 @@ def main(argv=None):
         mesh = make_multislice_mesh(MeshConfig(data_axis=-1, db_axis=db_axis))
     index = PlaceIndex.from_checkpoint(
         args.log_dir, mesh=mesh, embed_batch=args.embed_batch,
-        quantize=args.quantize, max_k=args.k,
+        quantize=args.quantize, max_k=args.k, sync_mode=args.sync_mode,
+        sync_chunk_rows=args.sync_chunk_rows,
     )
     if args.db:
         index.load_db(args.db)

@@ -26,10 +26,14 @@ fp32-lossless) — the capacity knob for pod-scale databases.
 Concurrency: PlaceIndex is thread-safe for interleaved add/query — a lock
 guards the host bookkeeping while the heavy device work runs on immutable
 snapshots outside it. The DB is append-only, so result ids stay valid
-across concurrent adds. QueryScheduler aggregates concurrent single-submap
-queries into one padded device batch (the classic dynamic-batching serving
-front-end): latency-bound callers share MXU dispatches instead of queueing
-behind each other.
+across concurrent adds. Host->device sync is CHUNKED and runs outside the
+bookkeeping lock; ``sync_mode="background"`` additionally moves it to a
+daemon thread so bulk ingest never stalls queries (bounded staleness over
+a consistent prefix; ``flush()`` restores read-your-writes on demand).
+QueryScheduler aggregates concurrent single-submap queries into one padded
+device batch (the classic dynamic-batching serving front-end):
+latency-bound callers share MXU dispatches instead of queueing behind each
+other.
 """
 
 from __future__ import annotations
@@ -83,9 +87,32 @@ class PlaceIndex:
         quantize: str = "none",
         max_k: int = 25,
         num_points: int | None = None,
+        sync_mode: str = "blocking",
+        sync_chunk_rows: int | None = None,
     ):
         if quantize not in ("none", "int8"):
             raise ValueError(f"quantize={quantize!r} not in {{'none', 'int8'}}")
+        if sync_mode not in ("blocking", "background"):
+            raise ValueError(
+                f"sync_mode={sync_mode!r} not in {{'blocking', 'background'}}"
+            )
+        # sync_mode governs when freshly-added rows become query-visible:
+        #   "blocking"   — read-your-writes: a query waits until every row
+        #                  added before it is device-resident (the transfer
+        #                  itself is chunked and runs OUTSIDE the bookkeeping
+        #                  lock, so adds/metrics/metadata never stall behind
+        #                  it — only the querying caller pays).
+        #   "background" — bounded staleness: adds kick a daemon thread that
+        #                  syncs in sync_chunk_rows chunks; queries run
+        #                  immediately against the resident consistent PREFIX
+        #                  of the append-only DB (ids stay valid), so a bulk
+        #                  ingest never stalls the query path. flush() gives
+        #                  read-your-writes on demand. Measured motivation:
+        #                  a ~600k-row sync is 11-30 s through the host link
+        #                  (hwevidence/r04/serve_scale.json append_events) —
+        #                  under "blocking" every query issued during a giant
+        #                  append serialized behind the full transfer.
+        self.sync_mode = sync_mode
         # submap size the embed program expects (warmup's default shape);
         # from_checkpoint fills it from the run's data config
         self.num_points = num_points
@@ -103,6 +130,13 @@ class PlaceIndex:
         self.dim = descriptor_dim
         self.embed_batch = embed_batch
         self.block_rows = block_rows
+        # One sync step transfers at most this many rows (rounded up to a
+        # block multiple, so the compiled update-shape set stays bounded:
+        # block multiples <= sync_chunk_rows). Bounds how long one chunk
+        # occupies the device/host link — queries interleave between chunks.
+        chunk = sync_chunk_rows or 8 * block_rows
+        self.sync_chunk_rows = max(block_rows,
+                                   -(-chunk // block_rows) * block_rows)
         self.mesh = mesh
         # quantize="int8": the device DB is stored int8 + per-row fp32 scale
         # (ops/retrieval.py quantize_descriptors) — 4x less HBM per row, ~4e-4
@@ -178,6 +212,12 @@ class PlaceIndex:
         else:
             self._fused_f = self._fused_q = None
         self._lock = threading.RLock()  # guards _db/_meta/_dev_db bookkeeping
+        # Serializes device-sync WORK (transfer + growth), which runs outside
+        # _lock. Lock order is always _sync_lock -> _lock, never the reverse.
+        self._sync_lock = threading.Lock()
+        self._sync_cv = threading.Condition(self._lock)  # _dev_rows progress
+        self._sync_thread = None  # background worker (sync_mode="background")
+        self._sync_error: BaseException | None = None
         # Monotonic operation counters (production monitoring — GET /metrics
         # on the HTTP server). Mutated only under the lock / by the single
         # sync path, read without (snapshot semantics are fine for gauges).
@@ -189,6 +229,7 @@ class PlaceIndex:
     def from_checkpoint(
         cls, log_dir: str, mesh=None, embed_batch: int = 32,
         quantize: str = "none", max_k: int = 25,
+        sync_mode: str = "blocking", sync_chunk_rows: int | None = None,
     ):
         cfg_path = os.path.join(log_dir, "config.json")
         cfg = (
@@ -209,6 +250,8 @@ class PlaceIndex:
             quantize=quantize,
             max_k=max_k,
             num_points=cfg.data.num_points,
+            sync_mode=sync_mode,
+            sync_chunk_rows=sync_chunk_rows,
         )
 
     # ------------------------------------------------------------------
@@ -241,8 +284,11 @@ class PlaceIndex:
             self._meta.extend(metadata if metadata is not None else [None] * len(desc))
             self._counters["adds"] += 1
             self._counters["rows_added"] += len(desc)
-            # device sync is lazy (next query): adds stay cheap and bursts
-            # of adds coalesce into one device append
+            # "blocking": device sync is lazy (next query) — adds stay cheap
+            # and bursts coalesce. "background": start syncing now so the
+            # rows are (likely) already resident by the first query.
+        if self.sync_mode == "background":
+            self._kick_background_sync()
 
     def __len__(self) -> int:
         with self._lock:
@@ -282,23 +328,47 @@ class PlaceIndex:
         return self.query_descriptors(self.embed(points), k)
 
     def _snapshot_db(self, n_query_rows: int, k: int):
-        """Consistent (dev_db, scale, clamped-k) snapshot under the lock —
-        the device compute runs OUTSIDE it on the immutable buffers, so
-        queries never serialize behind each other or behind adds. The one
-        source of truth for the empty check, the k clamp, the lazy device
-        sync, and the query counters (shared by the fused and two-step
-        paths)."""
+        """Consistent (dev_db, scale, clamped-k) snapshot — the device
+        compute runs OUTSIDE the lock on the immutable buffers, so queries
+        never serialize behind each other or behind adds. The one source of
+        truth for the empty check, the k clamp, the sync policy, and the
+        query counters (shared by the fused and two-step paths).
+
+        "blocking": waits for full device residency (read-your-writes).
+        "background": returns immediately against the resident PREFIX of
+        the append-only DB (the first query ever waits for chunk one)."""
         with self._lock:
             if len(self._db) == 0:
                 raise ValueError("empty index")
             if k < 1:
                 # a negative k would silently mis-slice the host trim
                 raise ValueError(f"k={k} must be >= 1")
-            kk = min(k, len(self._db))
-            self._sync_dev_db()
+        if self.sync_mode == "blocking":
+            self._ensure_synced()
+        else:
+            self._kick_background_sync()
+        with self._lock:
+            while self._dev_rows == 0 or self._dev_db is None:
+                # background mode, nothing resident yet: the first chunk is
+                # the minimum a query can run against — wait for it (bounded
+                # by one sync_chunk_rows transfer, not the whole backlog)
+                self._raise_sync_error()
+                self._sync_cv.wait(timeout=1.0)
+            self._raise_sync_error()
+            # clamp to the VISIBLE prefix: rows beyond _dev_rows are not on
+            # device yet (background mode) — the far-padded tail keeps the
+            # top-kk of the prefix exact
+            kk = min(k, self._dev_rows)
             self._counters["queries"] += 1
             self._counters["query_rows"] += n_query_rows
             return self._dev_db, self._dev_scale, kk
+
+    def _raise_sync_error(self) -> None:
+        """Surface a background-sync failure on the caller's thread (call
+        under the lock) instead of losing it in a daemon thread."""
+        if self._sync_error is not None:
+            err, self._sync_error = self._sync_error, None
+            raise RuntimeError("background device sync failed") from err
 
     def query_descriptors(self, desc: np.ndarray, k: int = 25):
         dbj, scj, kk = self._snapshot_db(desc.shape[0], k)
@@ -336,22 +406,85 @@ class PlaceIndex:
             return topk_neighbors_quantized(q, dbj, scj, k_prog)
         return topk_neighbors(q, dbj, k_prog)
 
-    def _sync_dev_db(self) -> None:
-        """Bring the device DB up to date with the host DB (call under the
-        lock). Transfers ONLY rows added since the last sync; compiled
-        program count stays bounded: capacities double (log many shapes) and
-        update sizes are quantized to block_rows."""
-        n = len(self._db)
-        if self._dev_rows == n and self._dev_db is not None:
-            return
-        cap = 0 if self._dev_db is None else self._dev_db.shape[0]
-        # pending rows, quantized up to a block multiple (1e6 filler rows in
-        # the quantization tail are overwritten by the next sync)
-        start = (self._dev_rows // self.block_rows) * self.block_rows
-        rows = -(-n // self.block_rows) * self.block_rows
+    def _ensure_synced(self) -> None:
+        """Bring the device DB fully up to date (read-your-writes), one
+        sync_chunk_rows chunk at a time. The heavy transfer runs outside
+        the bookkeeping lock — only the caller waits, not the index."""
+        while True:
+            with self._sync_lock:
+                with self._lock:
+                    self._raise_sync_error()
+                backlog = self._sync_chunk()
+            if backlog <= 0:
+                return
+
+    def flush(self) -> None:
+        """Block until every row added so far is device-resident — the
+        read-your-writes barrier for sync_mode="background" (a no-op after
+        any query in "blocking" mode)."""
+        self._ensure_synced()
+
+    def _kick_background_sync(self) -> None:
+        """Start (or reuse) the daemon sync worker. The worker clears
+        _sync_thread under the lock only after confirming zero backlog, so
+        an add racing its exit either sees it alive (the worker re-checks
+        before exiting) or starts a fresh one."""
+        with self._lock:
+            if self._sync_thread is not None:
+                return
+            if self._dev_rows == len(self._db) and self._dev_db is not None:
+                return
+            t = threading.Thread(target=self._background_sync_loop,
+                                 daemon=True, name="placeindex-sync")
+            self._sync_thread = t
+        t.start()
+
+    def _background_sync_loop(self) -> None:
+        while True:
+            try:
+                with self._sync_lock:
+                    backlog = self._sync_chunk()
+            except BaseException as e:  # surface on the next query/flush
+                with self._lock:
+                    self._sync_error = e
+                    self._sync_thread = None
+                    self._sync_cv.notify_all()
+                return
+            if backlog <= 0:
+                with self._lock:
+                    if self._dev_rows == len(self._db):
+                        self._sync_thread = None
+                        return
+                    # rows landed between the chunk and this check: loop
+
+    def _sync_chunk(self) -> int:
+        """Advance the device DB by at most sync_chunk_rows rows. Returns
+        the remaining backlog. Caller must hold _sync_lock (serializes sync
+        work); _lock is taken only briefly for the snapshot and the install,
+        so adds/queries/metrics proceed while the transfer is in flight.
+        Correctness: the host DB is append-only (rows never mutate) and the
+        device append is functional (no donation), so in-flight queries keep
+        computing on their older — still consistent — snapshot buffers.
+        Compiled program count stays bounded: capacities double (log many
+        shapes) and update sizes are block multiples <= sync_chunk_rows."""
+        with self._lock:
+            db_ref = self._db  # append-only: the array object never mutates
+            n = len(db_ref)
+            dev_db, dev_scale, dev_rows = (
+                self._dev_db, self._dev_scale, self._dev_rows
+            )
+        if n == 0 or (dev_rows == n and dev_db is not None):
+            return 0
+        cap = 0 if dev_db is None else dev_db.shape[0]
+        # this chunk's pending rows, quantized up to a block multiple (1e6
+        # filler rows in the quantization tail are overwritten by the next
+        # sync once more rows land)
+        start = (dev_rows // self.block_rows) * self.block_rows
+        end = min(n, start + self.sync_chunk_rows)
+        rows = -(-end // self.block_rows) * self.block_rows
         need = rows - start
         upd = np.full((need, self.dim), 1e6, np.float32)
-        upd[: n - start] = self._db[start:]
+        upd[: end - start] = db_ref[start:end]
         quant = self.quantize == "int8"
         if rows > cap:
             # capacity growth: geometric, device-side; the old buffer's rows
@@ -365,34 +498,36 @@ class PlaceIndex:
             if quant:
                 fresh = jnp.full((grow, self.dim), 127, jnp.int8)
                 fresh_sc = jnp.full((grow, 1), 1e6, jnp.float32)
-                grown = fresh if self._dev_db is None else jnp.concatenate(
-                    [self._dev_db, fresh]
+                dev_db = fresh if dev_db is None else jnp.concatenate(
+                    [dev_db, fresh]
                 )
-                grown_sc = fresh_sc if self._dev_scale is None else jnp.concatenate(
-                    [self._dev_scale, fresh_sc]
+                dev_scale = fresh_sc if dev_scale is None else jnp.concatenate(
+                    [dev_scale, fresh_sc]
                 )
                 if self._db_sharding is not None:
-                    grown = jax.device_put(grown, self._db_sharding)
-                    grown_sc = jax.device_put(grown_sc, self._db_sharding)
-                self._dev_db, self._dev_scale = grown, grown_sc
+                    dev_db = jax.device_put(dev_db, self._db_sharding)
+                    dev_scale = jax.device_put(dev_scale, self._db_sharding)
             else:
                 fresh = jnp.full((grow, self.dim), 1e6, jnp.float32)
-                grown = fresh if self._dev_db is None else jnp.concatenate(
-                    [self._dev_db, fresh]
+                dev_db = fresh if dev_db is None else jnp.concatenate(
+                    [dev_db, fresh]
                 )
                 if self._db_sharding is not None:
-                    grown = jax.device_put(grown, self._db_sharding)
-                self._dev_db = grown
+                    dev_db = jax.device_put(dev_db, self._db_sharding)
         if quant:
-            self._dev_db, self._dev_scale = self._append_fn_q(
-                self._dev_db, self._dev_scale, jnp.asarray(upd), jnp.int32(start)
+            dev_db, dev_scale = self._append_fn_q(
+                dev_db, dev_scale, jnp.asarray(upd), jnp.int32(start)
             )
         else:
-            self._dev_db = self._append_fn(
-                self._dev_db, jnp.asarray(upd), jnp.int32(start)
-            )
-        self._dev_rows = n
-        self._counters["dev_syncs"] += 1
+            dev_db = self._append_fn(dev_db, jnp.asarray(upd), jnp.int32(start))
+        # install the chunk: in-flight queries keep their old (functional)
+        # snapshot buffers; new snapshots see rows [0, end)
+        with self._lock:
+            self._dev_db, self._dev_scale = dev_db, dev_scale
+            self._dev_rows = end
+            self._counters["dev_syncs"] += 1
+            self._sync_cv.notify_all()
+            return len(self._db) - end
 
     def warmup(self, num_points: int | None = None) -> None:
         """Pre-compile the serving programs before traffic arrives.
@@ -422,15 +557,15 @@ class PlaceIndex:
             pts = jnp.zeros((self.embed_batch, num_points, 3), jnp.float32)
             np.asarray(self._embed(self._params, self._stats, pts))
         quant = self.quantize == "int8"
-        with self._lock:
-            if len(self._db) > 0:
-                self._sync_dev_db()
+        if len(self) > 0:
+            self._ensure_synced()  # full residency before traffic, any mode
+            with self._lock:
                 dbj, scj = self._dev_db, self._dev_scale
-            else:
-                dbj = scj = None
+        else:
+            dbj = scj = None
         if dbj is None:
             # empty index: compile against a dummy first capacity block —
-            # identical shapes (and far-pad values) to _sync_dev_db's
+            # identical shapes (and far-pad values) to _sync_chunk's
             cap = self.block_rows
             if quant:
                 dbj = jnp.full((cap, self.dim), 127, jnp.int8)
@@ -475,8 +610,11 @@ class PlaceIndex:
                 "dim": self.dim,
                 "quantize": self.quantize,
                 "sharded": self._use_sharded,
+                "sync_mode": self.sync_mode,
                 "device_rows_capacity": cap,
                 "device_bytes": dev_bytes,
+                "device_synced_rows": self._dev_rows,
+                "sync_backlog_rows": len(self._db) - self._dev_rows,
                 **self._counters,
             }
 
@@ -517,12 +655,15 @@ class PlaceIndex:
         meta = data["meta"]
         if meta.ndim > 1:  # legacy 2-D object saves: restore row entries
             meta = [list(row) for row in meta]
-        with self._lock:
-            self._db = db.astype(np.float32)
-            self._meta = list(meta)
-            self._dev_db = None  # full reload: next query re-syncs from row 0
-            self._dev_scale = None
-            self._dev_rows = 0
+        # _sync_lock first (same order as every sync path): a background
+        # chunk computed from the OLD _db must not install after the swap
+        with self._sync_lock:
+            with self._lock:
+                self._db = db.astype(np.float32)
+                self._meta = list(meta)
+                self._dev_db = None  # full reload: next query re-syncs from row 0
+                self._dev_scale = None
+                self._dev_rows = 0
 
 
 def _resolve_future(setter, value) -> None:

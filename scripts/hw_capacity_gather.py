@@ -77,25 +77,34 @@ def measure(n: int, b: int, fmt: str, c_lo: int = 1, c_hi: int = 3,
 
 def main():
     print("devices:", jax.devices(), flush=True)
+    # VERDICT r4 missing #5: the dense/packed 16k/32k rows cited in
+    # docs/KERNELS.md predate the hwbench wipe and had no surviving
+    # artifact — regenerate them here alongside the gather ladder so
+    # capacity_gather.json carries EVERY capacity-table number. The
+    # dense 32k compile failure is itself a cited claim: record it.
     rungs = [
-        # comparison row at 16k (dense measured 164.5/s, packed 155.5/s)
-        (16384, 4),
-        # packed's ceiling shape (packed measured 37.5/s at B=2)
-        (32768, 2),
+        (16384, 4, "dense"),    # round-3: 164.5 submaps/s
+        (16384, 4, "packed"),   # round-3: 155.5 submaps/s
+        (16384, 4, "gather"),
+        (32768, 2, "dense"),    # round-3: FAILS to compile (expected)
+        (32768, 2, "packed"),   # round-3: 37.5 submaps/s
+        (32768, 2, "gather"),
         # beyond every adjacency layout — single-chip giant submaps
-        (65536, 1),
-        (131072, 1),
+        (65536, 1, "gather"),
+        (131072, 1, "gather"),
     ]
+    if os.environ.get("EPCNET_GATHER_ONLY"):
+        rungs = [r for r in rungs if r[2] == "gather"]
     rows = []
-    for n, b in rungs:
+    for n, b, fmt in rungs:
         try:
-            per_batch, sps = measure(n, b, "gather")
-            rows.append({"n": n, "batch": b, "format": "gather",
+            per_batch, sps = measure(n, b, fmt)
+            rows.append({"n": n, "batch": b, "format": fmt,
                          "per_batch_ms_device": round(per_batch * 1e3, 1),
                          "submaps_per_sec": round(sps, 2), "ok": True})
         except Exception as e:  # a rung that OOMs must not hide the rest
-            print(f"  [N={n} B={b} gather] FAILED: {e!r}", flush=True)
-            rows.append({"n": n, "batch": b, "format": "gather",
+            print(f"  [N={n} B={b} {fmt}] FAILED: {e!r}", flush=True)
+            rows.append({"n": n, "batch": b, "format": fmt,
                          "ok": False, "error": repr(e)[:500]})
         time.sleep(15)  # idle gap: compile helper degrades under churn
 

@@ -45,6 +45,13 @@ ARTIFACTS = [
     ("logs/batch_sweep.log", "batch_sweep.log"),
     ("logs/serve_scale.log", "serve_scale.log"),
     ("logs/multiseed.log", "multiseed.log"),
+    # round 5 additions
+    ("logs/capacity_train_32k.log", "capacity_train_32k.log"),
+    ("logs/capacity_train_65k.log", "capacity_train_65k.log"),
+    ("logs/knn_trace.json", "knn_trace.json"),
+    ("logs/knn_trace.log", "knn_trace.log"),
+    ("logs/pnv.log", "pnv.log"),
+    ("logs/eval_pnv.log", "eval_pnv.log"),
 ]
 MAX_BYTES = 512 * 1024  # anything bigger is a log gone wrong, not evidence
 

@@ -131,7 +131,7 @@ def run_seed(seed: int, root: str, epochs: str,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", default="2024,7",
+    ap.add_argument("--seeds", default="2024,7,42",
                     help="extra train seeds (1234 = the round-3 run of record)")
     ap.add_argument("--rerun_base", action="store_true",
                     help="retrain seed 1234 instead of reusing $HW/log")

@@ -49,8 +49,13 @@ Steps (CLAUDE.md "HARDWARE QUEUE on recovery"):
   eval_q8        evaluate --quantize int8 (protocol step 3b)
   memlever_cli   tiny synthetic train with remat=true grad_accum_steps=2
                  (TPU-side CLI verify of the memory levers)
-  multiseed      scripts/hw_multiseed.py (3-seed teacher+student error bars
-                 — VERDICT r3 missing #2; runs its OWN serial subprocesses)
+  multiseed      scripts/hw_multiseed.py (4-seed teacher+student error bars
+                 — VERDICT r3 missing #2 / r4 #1; runs its OWN serial
+                 subprocesses, completed seeds are reused)
+  capacity_train_32k / capacity_train_65k  one giant-N TRAIN step via the
+                 gather cutover (VERDICT r4 next #3)
+  knn_trace      scripts/hw_knn_trace.py (profiler trace + phase
+                 attribution + pipelined-variant A/B — VERDICT r4 next #8)
   bench          bench.py sanity (the driver's headline JSON line)
 """
 
@@ -135,6 +140,19 @@ def build_steps() -> list[tuple[str, list[str]]]:
         ("untrained", [PY, "-u",
                        os.path.join(REPO, "scripts/hw_eval_untrained.py")]),
         ("capacity", [PY, "-u", os.path.join(REPO, "scripts/hw_train_capacity.py")]),
+        # VERDICT r4 next #3: one TRAIN step per giant-N rung (the auto
+        # cutover routes train at N>=32768 to the gather path — these make
+        # that routing measured instead of assumed). B=1 tuples (22 clouds).
+        ("capacity_train_32k", ["env", "EPCNET_CAP_N=32768",
+                                "EPCNET_CAP_LADDER=1",
+                                "EPCNET_CAP_CONFIGS=baseline,remat",
+                                PY, "-u",
+                                os.path.join(REPO, "scripts/hw_train_capacity.py")]),
+        ("capacity_train_65k", ["env", "EPCNET_CAP_N=65536",
+                                "EPCNET_CAP_LADDER=1",
+                                "EPCNET_CAP_CONFIGS=remat",
+                                PY, "-u",
+                                os.path.join(REPO, "scripts/hw_train_capacity.py")]),
         ("capacity_gather", [PY, "-u",
                              os.path.join(REPO, "scripts/hw_capacity_gather.py")]),
         ("batch_sweep", [PY, "-u",
@@ -156,6 +174,7 @@ def build_steps() -> list[tuple[str, list[str]]]:
         # multiseed spawns its own strictly-serial train/eval subprocesses
         # (same tunnel discipline), so it is still one-TPU-process-at-a-time
         ("multiseed", [PY, "-u", os.path.join(REPO, "scripts/hw_multiseed.py")]),
+        ("knn_trace", [PY, "-u", os.path.join(REPO, "scripts/hw_knn_trace.py")]),
         ("bench", [PY, "-u", os.path.join(REPO, "bench.py")]),
     ]
 

@@ -56,6 +56,23 @@ CONFIGS = [
     ("remat+accum2", True, 2),
     ("remat+accum4", True, 4),
 ]
+# Giant-N runs (VERDICT r4 next #3: the auto train-cutover routes N>=32768
+# to the gather path — hardware-untested until round 5): select a subset,
+# e.g. EPCNET_CAP_CONFIGS=remat EPCNET_CAP_N=32768 EPCNET_CAP_LADDER=1
+if os.environ.get("EPCNET_CAP_CONFIGS"):
+    want = os.environ["EPCNET_CAP_CONFIGS"].split(",")
+    CONFIGS = [c for c in CONFIGS if c[0] in want]
+
+
+def peak_hbm_gb() -> float | None:
+    """Best-effort device peak-memory readout (TPU backends expose
+    memory_stats; the axon tunnel may not — record null then)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 1e9, 2) if peak else None
+    except Exception:
+        return None
 
 model_cfg = ModelConfig(num_points=N)
 rng = np.random.default_rng(0)
@@ -104,10 +121,12 @@ for name, remat, accum in CONFIGS:
             dt = (time.perf_counter() - t0) / 3
             fits.append(b)
             times[b] = dt
+            hbm = peak_hbm_gb()
             print(
                 f"{name:14s} B={b:3d} OK   compile={compile_s:6.1f}s "
                 f"step~{dt * 1e3:7.1f}ms "
-                f"({b * (POS + NEG + 2) / dt:6.1f} submaps/s)",
+                f"({b * (POS + NEG + 2) / dt:6.1f} submaps/s)"
+                + (f" peakHBM={hbm}GB" if hbm else ""),
                 flush=True,
             )
         except Exception as e:
