@@ -229,8 +229,13 @@ def _pipelined_call(xp, k: int):
 # ---------------------------------------------------------------------------
 
 
-def scan_delta_ms(fn, xp, c_lo=2, c_hi=10, iters=5, attempts=3):
-    """Device ms per fn(xp) call: in-jit scan at two chunk counts."""
+def scan_delta_ms(fn, xp, c_lo=4, c_hi=132, iters=5, attempts=3):
+    """Device ms per fn(xp) call: in-jit scan at two chunk counts.
+
+    These kernels run 0.5-3 ms per call, so the chunk delta must be LONG
+    (128 chunks ~ 100-400 ms of device time) to resolve above the tunnel's
+    per-dispatch wall variance — the first run at c_hi=10 measured noise
+    (negative phase times)."""
     def chunks(n):
         @jax.jit
         def run(x):
@@ -266,6 +271,100 @@ def scan_delta_ms(fn, xp, c_lo=2, c_hi=10, iters=5, attempts=3):
     return round(per * 1e3, 3)
 
 
+def _trace_top_ops(trace_dir: str, top: int = 15) -> dict:
+    """Device-plane op attribution from the XPlane protobuf jax.profiler
+    wrote (vm.xplane.pb): a minimal protobuf wire-format walk over
+    XSpace -> XPlane('/device:TPU:0') -> XLine('XLA Ops'/'XLA Modules') ->
+    XEvent(metadata_id, duration_ps), names via the plane's event_metadata
+    map. No tensorflow/profiler tooling exists on this image — this is
+    sufficient for name + total-duration aggregation."""
+    import glob
+    import struct  # noqa: F401 (fixed-width wire types are skipped below)
+
+    def varint(b, i):
+        x = s = 0
+        while True:
+            v = b[i]; i += 1
+            x |= (v & 0x7F) << s
+            if not v & 0x80:
+                return x, i
+            s += 7
+
+    def fields(b):
+        i, end = 0, len(b)
+        while i < end:
+            tag, i = varint(b, i)
+            f, wt = tag >> 3, tag & 7
+            if wt == 0:
+                v, i = varint(b, i); yield f, wt, v
+            elif wt == 1:
+                yield f, wt, b[i:i + 8]; i += 8
+            elif wt == 2:
+                ln, i = varint(b, i); yield f, wt, b[i:i + ln]; i += ln
+            elif wt == 5:
+                yield f, wt, b[i:i + 4]; i += 4
+            else:
+                raise ValueError(f"wire type {wt}")
+
+    def submsg_str(pb, field):
+        for f, wt, v in fields(pb):
+            if f == field and wt == 2:
+                return v.decode("utf-8", "replace")
+        return None
+
+    out = {}
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    for path in paths:
+        b = open(path, "rb").read()
+        for f, wt, plane in fields(b):
+            if not (f == 1 and wt == 2):
+                continue
+            pname, lines, emeta = None, [], {}
+            for f2, wt2, v2 in fields(plane):
+                if f2 == 2 and wt2 == 2:
+                    pname = v2.decode("utf-8", "replace")
+                elif f2 == 3 and wt2 == 2:
+                    lines.append(v2)
+                elif f2 == 4 and wt2 == 2:  # map<int64, XEventMetadata>
+                    k = md = None
+                    for f3, wt3, v3 in fields(v2):
+                        if f3 == 1 and wt3 == 0:
+                            k = v3
+                        elif f3 == 2 and wt3 == 2:
+                            md = v3
+                    if md is not None:
+                        emeta[k] = submsg_str(md, 2)
+            if pname != "/device:TPU:0":
+                continue
+            for ln in lines:
+                lname, agg = None, {}
+                n_events = 0
+                for f2, wt2, v2 in fields(ln):
+                    if f2 == 2 and wt2 == 2:
+                        lname = v2.decode("utf-8", "replace")
+                    elif f2 == 4 and wt2 == 2:  # XEvent
+                        mid = dur = 0
+                        for f3, wt3, v3 in fields(v2):
+                            if f3 == 1 and wt3 == 0:
+                                mid = v3
+                            elif f3 == 3 and wt3 == 0:
+                                dur = v3
+                        a = agg.setdefault(mid, [0.0, 0])
+                        a[0] += dur / 1e9  # ps -> ms
+                        a[1] += 1
+                        n_events += 1
+                if not agg:
+                    continue
+                rows = sorted(
+                    ({"name": (emeta.get(mid) or "?")[:160], "count": c,
+                      "total_ms": round(ms, 3)}
+                     for mid, (ms, c) in agg.items()),
+                    key=lambda r: -r["total_ms"])
+                out[lname] = {"events": n_events, "top": rows[:top]}
+    return out
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
@@ -277,6 +376,8 @@ def main():
 
     # 1) profiler trace of the model forward (best-effort on the tunnel)
     trace_dir = os.path.join(HW, "logs", "knn_trace")
+    import shutil
+    shutil.rmtree(trace_dir, ignore_errors=True)  # one run's trace only
     try:
         cfg = ModelConfig(use_pallas=True)
         model = get_model(cfg)
@@ -297,6 +398,12 @@ def main():
                               "bytes": os.path.getsize(p)})
         out["profiler_trace"] = {"dir": trace_dir, "files": files}
         print(f"trace captured: {len(files)} files", flush=True)
+        out["trace_device_ops"] = _trace_top_ops(trace_dir)
+        for lname, line in out["trace_device_ops"].items():
+            print(f"  [{lname}] {line['events']} events", flush=True)
+            for row in line["top"][:8]:
+                print(f"    {row['total_ms']:8.3f} ms x{row['count']:3d}  "
+                      f"{row['name'][:90]}", flush=True)
     except Exception as e:  # the attribution below is the load-bearing part
         out["profiler_trace"] = {"error": repr(e)[:300]}
         print(f"trace FAILED: {e!r}", flush=True)
