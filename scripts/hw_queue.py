@@ -245,7 +245,18 @@ def main() -> int:
         return 2
 
     status_path = os.path.join(logs, "queue_status.json")
+    # Merge across invocations: re-prioritized protocols run as two chained
+    # queue calls, and the evidence collector copies ONE status file — a
+    # fresh dict here would drop the first call's step records.
     status: dict = {"started": time.strftime("%F %T"), "steps": {}}
+    if os.path.isfile(status_path):
+        try:
+            with open(status_path) as f:
+                prev = json.load(f)
+            status["steps"].update(prev.get("steps", {}))
+            status["started"] = prev.get("started", status["started"])
+        except (json.JSONDecodeError, OSError):
+            pass
     rc_all = 0
     for name, cmd in steps:
         log_path = os.path.join(logs, f"{name}.log")
