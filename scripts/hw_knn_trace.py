@@ -432,36 +432,46 @@ def main():
             ms["D_full_shipped"] - ms["C_plus_threshold"], 3),
     }
     print("attribution:", json.dumps(out["attribution_ms"]), flush=True)
+    os.makedirs(os.path.join(HW, "logs"), exist_ok=True)
+    path = os.path.join(HW, "logs", "knn_trace.json")
+
+    def persist():
+        # incremental write: phase 3 runs a NOVEL kernel on hardware — if
+        # it fails (Mosaic lowering, exactness), the trace + ablation
+        # evidence above must survive the crash
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
+    persist()
     time.sleep(10)
 
     # 3) pipelined variant: exactness first, then same-process A/B
-    _, adj_ref_out, proxy_ref_out = knn_with_adjacency_pallas(
-        jnp.asarray(x), K, with_idx=False, with_proxy=True)
-    adj_pipe, proxy_pipe = _pipelined_call(xp, K)
-    adj_ok = bool(jnp.array_equal(adj_ref_out, adj_pipe[:, :N, :N]))
-    # proxy: same math, bf16 operands — allow fp noise only
-    perr = float(jnp.max(jnp.abs(
-        proxy_pipe[:, :N, :3] - proxy_ref_out.astype(jnp.float32))))
-    print(f"pipelined exactness: adj_equal={adj_ok} proxy_maxerr={perr:.2e}",
-          flush=True)
-    pipe_ms = scan_delta_ms(lambda v: _pipelined_call(v, K)[0], xp)
-    ship_ms = scan_delta_ms(
-        lambda v: knn_with_adjacency_pallas(
-            v[..., :3], K, with_idx=False, with_proxy=True)[1], xp)
-    out["pipelined"] = {
-        "adj_exact": adj_ok,
-        "proxy_max_abs_err": perr,
-        "pipelined_ms_per_batch": pipe_ms,
-        "shipped_ms_per_batch_same_process": ship_ms,
-        "verdict": "faster" if (adj_ok and pipe_ms < 0.97 * ship_ms)
-        else "rejected",
-    }
+    try:
+        _, adj_ref_out, proxy_ref_out = knn_with_adjacency_pallas(
+            jnp.asarray(x), K, with_idx=False, with_proxy=True)
+        adj_pipe, proxy_pipe = _pipelined_call(xp, K)
+        adj_ok = bool(jnp.array_equal(adj_ref_out, adj_pipe[:, :N, :N]))
+        # proxy: same math, bf16 operands — allow fp noise only
+        perr = float(jnp.max(jnp.abs(
+            proxy_pipe[:, :N, :3] - proxy_ref_out.astype(jnp.float32))))
+        print(f"pipelined exactness: adj_equal={adj_ok} "
+              f"proxy_maxerr={perr:.2e}", flush=True)
+        pipe_ms = scan_delta_ms(lambda v: _pipelined_call(v, K)[0], xp)
+        ship_ms = scan_delta_ms(
+            lambda v: knn_with_adjacency_pallas(
+                v[..., :3], K, with_idx=False, with_proxy=True)[1], xp)
+        out["pipelined"] = {
+            "adj_exact": adj_ok,
+            "proxy_max_abs_err": perr,
+            "pipelined_ms_per_batch": pipe_ms,
+            "shipped_ms_per_batch_same_process": ship_ms,
+            "verdict": "faster" if (adj_ok and pipe_ms < 0.97 * ship_ms)
+            else "rejected",
+        }
+    except Exception as e:  # a failed variant is itself a measured result
+        out["pipelined"] = {"error": repr(e)[:300], "verdict": "rejected"}
     print("pipelined:", json.dumps(out["pipelined"]), flush=True)
-
-    os.makedirs(os.path.join(HW, "logs"), exist_ok=True)
-    path = os.path.join(HW, "logs", "knn_trace.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    persist()
     print(json.dumps(out), flush=True)
     print(f"wrote {path}", flush=True)
 
