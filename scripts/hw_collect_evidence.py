@@ -52,6 +52,8 @@ ARTIFACTS = [
     ("logs/knn_trace.log", "knn_trace.log"),
     ("logs/pnv.log", "pnv.log"),
     ("logs/eval_pnv.log", "eval_pnv.log"),
+    ("logs/devtrue_ab.json", "devtrue_ab.json"),
+    ("logs/devtrue_ab.log", "devtrue_ab.log"),
 ]
 MAX_BYTES = 512 * 1024  # anything bigger is a log gone wrong, not evidence
 

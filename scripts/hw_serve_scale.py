@@ -66,7 +66,16 @@ def device_true_query_ms(index, query_pts, k: int = 25) -> float | None:
     an in-jit lax.scan delta (VERDICT r4 weak #3: the wall p50s carry a
     35-170 ms tunnel dispatch tax that DRIFTS across runs, so they cannot
     support cross-rung comparison — this number can). Method identical to
-    bench.py: two chunk counts, the difference isolates device time."""
+    bench.py: two chunk counts, the difference isolates device time.
+
+    MEASURED CAVEAT (round 5, scripts/hw_devtrue_ab.py -> hwevidence/r05/
+    devtrue_ab.json): at >=2M rows this OVERSTATES the serving dispatch —
+    XLA compiles a ~2.6x slower loop body under lax.scan at large N (the
+    [Q, N] distance buffer and top-k sort get loop-carried layouts), so at
+    2^21 rows the scan iteration costs 134 ms while the standalone fused
+    dispatch serving actually runs is ~16 ms device. Treat this column as
+    an upper bound past 10^6 rows; docs/SERVING.md "Device-true latency,
+    reconciled" has the standalone numbers."""
     import jax
     import jax.numpy as jnp
 
