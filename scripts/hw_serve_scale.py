@@ -70,12 +70,12 @@ def device_true_query_ms(index, query_pts, k: int = 25) -> float | None:
 
     MEASURED CAVEAT (round 5, scripts/hw_devtrue_ab.py -> hwevidence/r05/
     devtrue_ab.json): at >=2M rows this OVERSTATES the serving dispatch —
-    XLA compiles a ~2.6x slower loop body under lax.scan at large N (the
-    [Q, N] distance buffer and top-k sort get loop-carried layouts), so at
-    2^21 rows the scan iteration costs 134 ms while the standalone fused
-    dispatch serving actually runs is ~16 ms device. Treat this column as
-    an upper bound past 10^6 rows; docs/SERVING.md "Device-true latency,
-    reconciled" has the standalone numbers."""
+    XLA compiles a far slower loop body under lax.scan at giant top-k
+    shapes (the [Q, N] distance buffer and top-k sort get loop-carried
+    layouts): standalone retrieval scales at 4.05 ms per million rows
+    while the scan iteration scales at ~85 ms per million (21x slope).
+    Treat this column as an upper bound past 10^6 rows; docs/SERVING.md
+    "Device-true latency, reconciled" has the standalone numbers."""
     import jax
     import jax.numpy as jnp
 
