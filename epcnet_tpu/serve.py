@@ -89,6 +89,7 @@ class PlaceIndex:
         num_points: int | None = None,
         sync_mode: str = "blocking",
         sync_chunk_rows: int | None = None,
+        warm_on_grow: bool = True,
     ):
         if quantize not in ("none", "int8"):
             raise ValueError(f"quantize={quantize!r} not in {{'none', 'int8'}}")
@@ -113,6 +114,16 @@ class PlaceIndex:
         #                  under "blocking" every query issued during a giant
         #                  append serialized behind the full transfer.
         self.sync_mode = sync_mode
+        # warm_on_grow: when a sync grows the device capacity, compile the
+        # query program for the NEW capacity inside the sync (before the
+        # grown buffer is installed) instead of inside the first client
+        # query at that capacity. Measured motivation: the round-5 scale
+        # ladder caught exactly one such compile landing inside the timed
+        # window as a 58 s p99 outlier at the int8 10^6-row rung
+        # (hwevidence/r05/serve_scale.json) — capacity growths are log-many,
+        # so the amortized cost is a handful of compiles per DB lifetime,
+        # and the persistent compile cache makes redeploys free.
+        self.warm_on_grow = warm_on_grow
         # submap size the embed program expects (warmup's default shape);
         # from_checkpoint fills it from the run's data config
         self.num_points = num_points
@@ -230,6 +241,7 @@ class PlaceIndex:
         cls, log_dir: str, mesh=None, embed_batch: int = 32,
         quantize: str = "none", max_k: int = 25,
         sync_mode: str = "blocking", sync_chunk_rows: int | None = None,
+        warm_on_grow: bool = True,
     ):
         cfg_path = os.path.join(log_dir, "config.json")
         cfg = (
@@ -252,6 +264,7 @@ class PlaceIndex:
             num_points=cfg.data.num_points,
             sync_mode=sync_mode,
             sync_chunk_rows=sync_chunk_rows,
+            warm_on_grow=warm_on_grow,
         )
 
     # ------------------------------------------------------------------
@@ -520,6 +533,13 @@ class PlaceIndex:
             )
         else:
             dev_db = self._append_fn(dev_db, jnp.asarray(upd), jnp.int32(start))
+        if rows > cap and self.warm_on_grow:
+            # compile the query program for the NEW capacity before the
+            # grown buffer becomes visible: concurrent queries keep running
+            # compiled programs on the old snapshot meanwhile, so no client
+            # ever pays the per-capacity compile (measured as a 58 s p99
+            # outlier when it landed inside a query — see __init__).
+            self._warm_at_capacity(dev_db, dev_scale)
         # install the chunk: in-flight queries keep their old (functional)
         # snapshot buffers; new snapshots see rows [0, end)
         with self._lock:
@@ -576,22 +596,35 @@ class PlaceIndex:
                 dbj = jax.device_put(dbj, self._db_sharding)
                 if quant:
                     scj = jax.device_put(scj, self._db_sharding)
+        self._warm_at_capacity(dbj, scj, num_points)
+
+    def _warm_at_capacity(self, dbj, scj, num_points: int | None = None):
+        """Run the query program once on zeros at this DB buffer's shapes,
+        blocking until the XLA compile + run completes. The program-warming
+        core shared by :meth:`warmup` (cold start) and — ``warm_on_grow`` —
+        by ``_sync_chunk`` right after a capacity growth, so the compiled
+        program a query needs always exists BEFORE the buffer it targets
+        becomes visible."""
+        num_points = num_points or self.num_points
         k_fused = min(self.max_k, int(dbj.shape[0]))
-        if self._use_sharded or self._embed is None:
+        if self._use_sharded or self._embed is None or num_points is None:
             # two-step path, through the SAME dispatcher queries use
-            # (query_descriptors compiles at the same capacity-keyed k)
+            # (query_descriptors compiles at the same capacity-keyed k).
+            # Also the fallback when no points shape is known: a fused warm
+            # cannot synthesize a submap, but the retrieval side — the part
+            # whose shape just changed — still warms.
             q = jnp.zeros((self.embed_batch, self.dim), jnp.float32)
             idx, _ = self._retrieve(q, dbj, scj, k_fused)
+        elif self.quantize == "int8":
+            pts = jnp.zeros((self.embed_batch, num_points, 3), jnp.float32)
+            idx, _ = self._fused_q(
+                self._params, self._stats, pts, dbj, scj, k=k_fused
+            )
         else:
             pts = jnp.zeros((self.embed_batch, num_points, 3), jnp.float32)
-            if quant:
-                idx, _ = self._fused_q(
-                    self._params, self._stats, pts, dbj, scj, k=k_fused
-                )
-            else:
-                idx, _ = self._fused_f(
-                    self._params, self._stats, pts, dbj, k=k_fused
-                )
+            idx, _ = self._fused_f(
+                self._params, self._stats, pts, dbj, k=k_fused
+            )
         np.asarray(idx)  # block until the compile + run completes
 
     def metrics(self) -> dict:

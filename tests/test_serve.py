@@ -1067,3 +1067,62 @@ def test_background_sync_error_surfaces(rng):
 def test_sync_mode_validation():
     with pytest.raises(ValueError, match="sync_mode"):
         _desc_index(sync_mode="lazy")
+
+
+def test_warm_on_grow_precompiles_query_program(tiny_model_cfg, rng,
+                                                monkeypatch):
+    """A capacity growth must compile the new capacity's fused query
+    program INSIDE the sync, so the first client query at that capacity
+    never pays the XLA compile. (Measured motivation: a per-capacity
+    compile landing inside a query was the 58 s p99 outlier at the int8
+    10^6-row rung of the round-5 hardware scale ladder —
+    hwevidence/r05/serve_scale.json.) Observation: a compile requires a
+    fresh TRACE of the fused program, and tracing runs the Python body —
+    counting calls into serve.topk_neighbors (with the DB capacity they
+    saw) records exactly when each capacity's program was built."""
+    import epcnet_tpu.serve as serve_mod
+
+    tcfg = TrainConfig()
+    state = create_train_state(tiny_model_cfg, tcfg, num_points=128)
+    embed = build_embed_fn(tiny_model_cfg)
+    traced = []
+    orig_topk = serve_mod.topk_neighbors
+
+    def counting_topk(q, db, k):
+        traced.append(int(db.shape[0]))
+        return orig_topk(q, db, k)
+
+    monkeypatch.setattr(serve_mod, "topk_neighbors", counting_topk)
+
+    def make(**kw):
+        return PlaceIndex(
+            embed, state.params, state.batch_stats,
+            descriptor_dim=tiny_model_cfg.output_dim,
+            embed_batch=4, block_rows=8, num_points=128, **kw)
+
+    idx = make()
+    pts = rng.uniform(-1, 1, (4, 128, 3)).astype(np.float32)
+    idx.add(pts)
+    idx.query(pts[:1], k=1)  # lazy first sync: capacity 0 -> 8, warmed
+    assert traced == [8], f"expected one trace at capacity 8, got {traced}"
+    # force a capacity growth (8 -> 32) with NO query in between
+    idx.add_descriptors(
+        rng.standard_normal((20, idx.dim)).astype(np.float32))
+    idx.flush()
+    assert traced == [8, 32], (
+        f"the grow itself must trace+compile the capacity-32 program, "
+        f"got {traced}")
+    idx.query(pts[:1], k=1)
+    assert traced == [8, 32], (
+        "the first query after a growth retraced — warm_on_grow failed")
+
+    # opt-out: with warm_on_grow=False the compile lands in the query
+    traced.clear()
+    idx2 = make(warm_on_grow=False)
+    idx2.add(pts)
+    idx2.add_descriptors(
+        rng.standard_normal((20, idx2.dim)).astype(np.float32))
+    idx2.flush()
+    assert traced == [], f"flush must not warm when opted out, got {traced}"
+    idx2.query(pts[:1], k=1)
+    assert traced == [32]
